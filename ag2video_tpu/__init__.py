@@ -1,0 +1,16 @@
+"""ag2video-tpu: a TPU-native action-graph-to-video synthesis framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+roeiherz/AG2Video (Compositional Video Synthesis with Action Graphs, ICML 2021).
+The design is idiomatic JAX rather than a port: `lax.scan` temporal rollouts,
+fixed-shape masked batching, a closed-form/Pallas rasterizer, and
+`jax.sharding.Mesh` + `jit` data/model parallelism.
+
+Layout convention: images are NHWC (TPU-native), videos are (B, T, H, W, C).
+Boxes are [x0, y0, w, h] in normalized [0, 1] image coordinates (matching the
+reference's convention, /root/reference/data/cater.py:323).
+"""
+
+__version__ = "0.1.0"
+
+from ag2video_tpu.config import Config  # noqa: F401

@@ -1,0 +1,189 @@
+"""Run configuration.
+
+A frozen dataclass mirroring the reference's flag system (reference:
+data/args.py:22-181) so that checkpoint directories remain self-describing via
+`run_args.json` (reference: scripts/train.py:352, scripts/test.py:173-179).
+Flag names are preserved where they are observable in `run_args.json`;
+TPU-specific fields (static shape caps, mesh axes, dtypes) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Dataset
+    dataset: str = "cater"  # cater | smth_else | synthetic
+    image_size: Tuple[int, int] = (256, 256)
+    num_val_samples: int = 64
+    shuffle_val: bool = False
+    include_relationships: bool = True
+
+    # Synthetic dataset (reference promises --dataset synthetic but never
+    # implements it, data/args.py:23; we actually provide it as the CI/bench
+    # workload).
+    number_of_objects: int = 7
+    dataset_size: int = 1000
+    grid_size: int = 512
+
+    # Optimization (reference: data/args.py:26-30)
+    graph_only: bool = False
+    batch_size: int = 3
+    num_iterations: int = 1_000_000
+    learning_rate: float = 1e-4
+    beta1: float = 0.5
+
+    # Generator options (reference: data/args.py:45-68)
+    mask_size: int = 0
+    embedding_dim: int = 128
+    gconv_dim: int = 128
+    g_mask_dim: int = 128 + 64
+    mask_noise_dim: int = 64
+    gconv_hidden_dim: int = 512
+    gconv_pooling: str = "avg"
+    gconv_num_layers: int = 3
+    mlp_normalization: str = "none"
+    num_upsampling_layers: str = "normal"  # normal | more | most
+    ngf: int = 64
+    num_D: int = 2
+    n_layers_D: int = 4
+    use_actions_loss: bool = True
+    layout_arch: str = "graph"
+    only_temporal: bool = False
+    coupled_motion_apperance: bool = False  # [sic] reference spelling
+
+    # Flow generator (reference: data/args.py:71-75)
+    n_blocks_F: int = 6
+    nff: int = 32
+    n_downsample_F: int = 3
+    flow_deconv: bool = False
+    flow_multiplier: float = 20.0
+
+    # Temporal (reference: data/args.py:78-82)
+    frames_per_action: int = 4
+    frames_per_action_graph: int = 4
+    n_frames_G: int = 2
+    n_frames_D: int = 1
+
+    # Norm-layer selection strings (reference: data/args.py:103-110). The
+    # `syncbatch` variants are realised as plain batch statistics computed over
+    # the *global* (mesh-wide) batch — under jit over a Mesh, XLA inserts the
+    # cross-replica reduction automatically, so SyncBN needs no dedicated
+    # machinery (reference sync_batchnorm/ becomes ~3 lines; see
+    # models/normalization.py).
+    norm_G: str = "spectralspadesyncbatch3x3"
+    norm_D: str = "spectralinstance"
+    norm_F: str = "spectralsyncbatch"
+    aspect_ratio: float = 1.0
+
+    # Discriminator / losses (reference: data/args.py:152-181)
+    ndf: int = 64
+    no_ganFeat_loss: bool = False
+    no_vgg_loss: bool = False
+    gan_mode: str = "hinge"  # hinge | ls | original | w
+    gan_loss_type: str = "gan"
+    lambda_feat: float = 10.0
+    lambda_vgg: float = 10.0
+    lambda_F_warp: float = 10.0
+    discriminator_img_loss_weight: float = 1.0
+    bbox_pred_loss_weight: float = 10.0
+    bp_prev: bool = False
+    crop_size: int = 32
+    d_obj_arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    d_normalization: str = "batch"
+    d_padding: str = "valid"
+    d_activation: str = "leakyrelu-0.2"
+
+    # Output / checkpointing (reference: data/args.py:85-96)
+    print_every: int = 10
+    checkpoint_every: int = 10_000
+    output_dir: str = "output/run"
+    run_name: str = "debug"
+    restore_checkpoint: bool = False
+    checkpoint_name: str = "checkpoint"
+    freeze_graph: bool = False
+    debug: bool = False
+
+    # --- TPU-specific (additive; no reference analog) ---
+    # Static shape caps: the reference pads to per-batch maxima in collate
+    # (data/dataset_params.py:26-44); XLA needs fixed shapes, so we pad to
+    # fixed caps and carry boolean validity masks instead.
+    max_objects: int = 12       # includes the dummy __image__ object
+    max_triplets: int = 12
+    max_actions: int = 4
+
+    # Mixed precision: params fp32; conv/matmul compute in `compute_dtype`.
+    compute_dtype: str = "bfloat16"
+    # Mesh axis sizes. data axis shards the batch; model axis (optional)
+    # shards generator channels/spatial dims for large resolutions.
+    mesh_data: int = 1
+    mesh_model: int = 1
+    # Seed
+    seed: int = 0
+
+    # Derived (reference: data/args.py:207): semantic_nc =
+    # len(vocab.attributes) * embedding_dim. Set via `derive()`.
+    semantic_nc: int = 512
+
+    # ------------------------------------------------------------------
+    def derive(self, vocab: Dict[str, Any]) -> "Config":
+        """Fill fields derived from the vocab (reference init_args, args.py:184)."""
+        return dataclasses.replace(
+            self, semantic_nc=len(vocab["attributes"]) * self.embedding_dim
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["image_size"] = list(self.image_size)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in fields}
+        if "image_size" in kw:
+            kw["image_size"] = tuple(kw["image_size"])
+        return cls(**kw)
+
+    # run_args.json contract (reference: scripts/train.py:352 writes it;
+    # scripts/test.py:173 reloads it to rebuild the model).
+    def save_run_args(self, output_dir: str, vocab: Optional[Dict] = None) -> str:
+        os.makedirs(output_dir, exist_ok=True)
+        path = os.path.join(output_dir, "run_args.json")
+        payload = self.to_dict()
+        if vocab is not None:
+            payload["vocab"] = vocab
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+        return path
+
+    @classmethod
+    def load_run_args(cls, path_or_dir: str) -> Tuple["Config", Optional[Dict]]:
+        path = path_or_dir
+        if os.path.isdir(path):
+            path = os.path.join(path, "run_args.json")
+        with open(path) as f:
+            payload = json.load(f)
+        vocab = payload.pop("vocab", None)
+        return cls.from_dict(payload), vocab
+
+    # Convenience
+    @property
+    def num_cond_frames(self) -> int:
+        return self.n_frames_G - 1
+
+    @property
+    def height(self) -> int:
+        return self.image_size[0]
+
+    @property
+    def width(self) -> int:
+        return self.image_size[1]

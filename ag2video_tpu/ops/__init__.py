@@ -1,0 +1,26 @@
+"""Core tensor ops (L0): rasterization, sampling, warping, box math, IoU.
+
+All ops are pure-JAX (or Pallas), fully batched, static-shaped, and masked —
+no Python loops over batch/objects/frames (contrast: reference
+models/layout.py, models/bilinear.py, models/graph_models/graph.py use
+per-sample Python loops).
+"""
+
+from ag2video_tpu.ops.boxes import (  # noqa: F401
+    apply_box_transform,
+    invert_box_transform,
+    centers_to_extents,
+    extents_to_centers,
+    xywh_to_xyxy,
+)
+from ag2video_tpu.ops.metrics import iou_xywh, iou_masks  # noqa: F401
+from ag2video_tpu.ops.sampling import grid_sample_2d  # noqa: F401
+from ag2video_tpu.ops.rasterize import (  # noqa: F401
+    box_coverage,
+    boxes_to_layout,
+    boxes_to_layout_batch,
+    boxes_to_mask,
+    masks_to_layout,
+)
+from ag2video_tpu.ops.warp import resample, flow_grid  # noqa: F401
+from ag2video_tpu.ops.crop import crop_bbox, crop_bbox_batch  # noqa: F401

@@ -1,0 +1,55 @@
+"""Bounding-box coordinate transforms.
+
+Semantics match the reference (models/box_utils.py, models/metrics.py:20-24)
+but operate on arbitrary leading batch dims (the reference is (N, 4) only).
+Boxes are [x0, y0, w, h] ("xywh") or corner format [x0, y0, x1, y1] ("xyxy"),
+normalized to [0, 1] image coordinates.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def xywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[x0, y0, w, h] -> [x0, y0, x1, y1] (reference: models/metrics.py:20-24)."""
+    x0, y0, w, h = jnp.split(boxes, 4, axis=-1)
+    return jnp.concatenate([x0, y0, x0 + w, y0 + h], axis=-1)
+
+
+def centers_to_extents(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[xc, yc, w, h] -> [x0, y0, x1, y1] (reference: models/box_utils.py:83-102)."""
+    xc, yc, w, h = jnp.split(boxes, 4, axis=-1)
+    x0 = xc - w / 2
+    y0 = yc - h / 2
+    return jnp.concatenate([x0, y0, x0 + w, y0 + h], axis=-1)
+
+
+def extents_to_centers(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[x0, y0, x1, y1] -> [xc, yc, w, h] (reference: models/box_utils.py:105-124)."""
+    x0, y0, x1, y1 = jnp.split(boxes, 4, axis=-1)
+    return jnp.concatenate(
+        [0.5 * (x0 + x1), 0.5 * (y0 + y1), x1 - x0, y1 - y0], axis=-1
+    )
+
+
+def apply_box_transform(anchors: jnp.ndarray, transforms: jnp.ndarray) -> jnp.ndarray:
+    """Apply [tx, ty, tw, th] deltas to [xc, yc, w, h] anchors
+    (reference: models/box_utils.py:24-52)."""
+    xa, ya, wa, ha = jnp.split(anchors, 4, axis=-1)
+    tx, ty, tw, th = jnp.split(transforms, 4, axis=-1)
+    return jnp.concatenate(
+        [xa + tx * wa, ya + ty * ha, wa * jnp.exp(tw), ha * jnp.exp(th)], axis=-1
+    )
+
+
+def invert_box_transform(anchors: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """Deltas that map anchors -> boxes, both [xc, yc, w, h]
+    (reference: models/box_utils.py:55-80)."""
+    xa, ya, wa, ha = jnp.split(anchors, 4, axis=-1)
+    x, y, w, h = jnp.split(boxes, 4, axis=-1)
+    return jnp.concatenate(
+        [(x - xa) / wa, (y - ya) / ha, jnp.log(w) - jnp.log(wa),
+         jnp.log(h) - jnp.log(ha)],
+        axis=-1,
+    )

@@ -1,0 +1,80 @@
+"""Differentiable bbox crops (ROI-align style) for object discriminators.
+
+Reference: models/bilinear.py:29-131 ('cudnn' path = grid_sample with
+align_corners=True over a tensor_linspace grid from box corners). Fixed-shape,
+masked, fully batched: the reference flattens only legal boxes per frame via
+Python loops (crop_bbox_batch_cudnn, bilinear.py:67-99); here every (obj,
+frame) slot is cropped and invalid slots are zeroed, with the mask returned
+for downstream loss weighting.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.boxes import xywh_to_xyxy
+from ag2video_tpu.ops.sampling import grid_sample_2d
+
+
+def crop_bbox(
+    feats: jnp.ndarray,
+    bbox: jnp.ndarray,
+    HH: int,
+    WW: Optional[int] = None,
+) -> jnp.ndarray:
+    """Crop feats (..., H, W, C) by xywh boxes (..., 4) -> (..., HH, WW, C).
+
+    Equivalent to reference crop_bbox backend='cudnn' (bilinear.py:102-131):
+    linspace from x0..x1 / y0..y1 in [0,1] -> [-1,1], grid_sample with
+    align_corners=True, zeros padding.
+    """
+    if WW is None:
+        WW = HH
+    corners = xywh_to_xyxy(bbox) * 2.0 - 1.0
+    x0, y0, x1, y1 = [corners[..., i] for i in range(4)]
+    tw = jnp.linspace(0.0, 1.0, WW, dtype=jnp.float32)
+    th = jnp.linspace(0.0, 1.0, HH, dtype=jnp.float32)
+    X = x0[..., None] * (1 - tw) + x1[..., None] * tw  # (..., WW)
+    Y = y0[..., None] * (1 - th) + y1[..., None] * th  # (..., HH)
+    lead = X.shape[:-1]
+    grid = jnp.stack(
+        [jnp.broadcast_to(X[..., None, :], lead + (HH, WW)),
+         jnp.broadcast_to(Y[..., :, None], lead + (HH, WW))],
+        axis=-1,
+    )
+    return grid_sample_2d(feats, grid, align_corners=True, padding_mode="zeros")
+
+
+def crop_bbox_batch(
+    imgs: jnp.ndarray,
+    bbox: jnp.ndarray,
+    HH: int,
+    WW: Optional[int] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crop every object from every frame.
+
+    Args:
+      imgs: (B, T, H, W, C) frames.
+      bbox: (B, T, O, 4) xywh boxes.
+      mask: (B, O) object validity (dummies/padding), combined with the
+            reference's all-zero-box legality test (bilinear.py:81-82).
+
+    Returns:
+      crops (B, T, O, HH, WW, C) with invalid slots zeroed, and the combined
+      validity mask (B, T, O).
+    """
+    if WW is None:
+        WW = HH
+    B, T, H, W, C = imgs.shape
+    O = bbox.shape[2]
+    legal = jnp.any(bbox != 0, axis=-1)  # (B, T, O)
+    if mask is not None:
+        legal = legal & (mask[:, None, :] > 0)
+
+    feats = jnp.broadcast_to(imgs[:, :, None], (B, T, O, H, W, C))
+    crops = crop_bbox(feats, bbox, HH, WW)
+    crops = crops * legal[..., None, None, None].astype(crops.dtype)
+    return crops, legal

@@ -1,0 +1,64 @@
+"""IoU metrics (reference: models/metrics.py:27-67).
+
+Fully batched and mask-aware: the reference strips dummy/padded boxes with
+boolean indexing (models/utils.py:105-110) which is shape-dynamic; here a
+`mask` argument weights the aggregate instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.boxes import xywh_to_xyxy
+
+
+def iou_xywh(bbox_pred: jnp.ndarray, bbox_gt: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise (aligned-pair) IoU of xywh boxes; arbitrary leading dims.
+
+    Matches reference `jaccard` (models/metrics.py:34-50), which returns
+    (iou, iou>0.5, iou>0.3); thresholding is left to the caller here.
+    """
+    p = xywh_to_xyxy(bbox_pred)
+    g = xywh_to_xyxy(bbox_gt)
+    max_xy = jnp.minimum(p[..., 2:], g[..., 2:])
+    min_xy = jnp.maximum(p[..., :2], g[..., :2])
+    wh = jnp.clip(max_xy - min_xy, min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_p = (p[..., 2] - p[..., 0]) * (p[..., 3] - p[..., 1])
+    area_g = (g[..., 2] - g[..., 0]) * (g[..., 3] - g[..., 1])
+    union = area_p + area_g - inter
+    return inter / union
+
+
+def iou_stats(
+    bbox_pred: jnp.ndarray,
+    bbox_gt: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sum_iou, count@0.5, count@0.3, n_valid) over masked boxes.
+
+    Mirrors the accumulation in the reference val loop
+    (scripts/train.py:180-197) with masking instead of boolean indexing.
+    """
+    iou = iou_xywh(bbox_pred, bbox_gt)
+    if mask is None:
+        mask = jnp.ones(iou.shape, dtype=iou.dtype)
+    mask = mask.astype(iou.dtype)
+    iou = jnp.where(mask > 0, iou, 0.0)
+    return (
+        jnp.sum(iou),
+        jnp.sum((iou > 0.5) * mask),
+        jnp.sum((iou > 0.3) * mask),
+        jnp.sum(mask),
+    )
+
+
+def iou_masks(masks_pred: jnp.ndarray, masks_gt: jnp.ndarray) -> jnp.ndarray:
+    """Binary-mask IoU (reference: models/metrics.py:53-67)."""
+    mp = masks_pred.astype(jnp.float32)
+    mg = masks_gt.astype(jnp.float32)
+    inter = jnp.sum(mp * mg)
+    union = jnp.sum(mp + mg) - inter
+    return inter / union

@@ -1,0 +1,98 @@
+"""General bilinear grid sampling (NHWC).
+
+Reproduces both `F.grid_sample` semantics the reference relies on:
+  - align_corners=True, zeros padding   (rasterizer models/layout.py:53,
+    crop models/bilinear.py:131)
+  - align_corners=False, border padding (flow warp models/utils.py:118-124,
+    with module constant ALIGN_CORNERS=False, data/args.py:228)
+
+Implemented as four gathers + lerp; gathers lower to XLA dynamic-gather which
+the TPU handles natively. The rasterizer hot path does NOT use this — it has a
+closed form (see ops/rasterize.py) that avoids gathers entirely.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(u: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    """[-1, 1] grid coordinate -> float pixel coordinate."""
+    if align_corners:
+        return (u + 1.0) * 0.5 * (size - 1)
+    return ((u + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample_2d(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    *,
+    align_corners: bool = False,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample `img` at `grid` locations.
+
+    Args:
+      img:  (..., H, W, C) input feature map (NHWC; leading dims broadcast
+            with grid's leading dims).
+      grid: (..., Ho, Wo, 2) sampling locations in [-1, 1], last dim (x, y) —
+            the torch grid_sample convention.
+      align_corners / padding_mode: torch-compatible semantics
+            (padding_mode in {"zeros", "border"}).
+
+    Returns:
+      (..., Ho, Wo, C)
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"padding_mode {padding_mode!r} not supported")
+    *lead, H, W, C = img.shape
+    *glead, Ho, Wo, two = grid.shape
+    assert two == 2, grid.shape
+    assert tuple(lead) == tuple(glead), (img.shape, grid.shape)
+
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+
+    img_flat = img.reshape(*lead, H * W, C)
+
+    def gather(yy, xx):
+        idx = (yy * W + xx).reshape(*lead, Ho * Wo)
+        out = jnp.take_along_axis(img_flat, idx[..., None], axis=-2)
+        return out.reshape(*lead, Ho, Wo, C)
+
+    v00 = gather(y0c, x0c)
+    v01 = gather(y0c, x1c)
+    v10 = gather(y1c, x0c)
+    v11 = gather(y1c, x1c)
+
+    if padding_mode == "zeros":
+        # Corners outside the image contribute zero (torch 'zeros' padding).
+        in_x0 = ((x0 >= 0) & (x0 <= W - 1)).astype(img.dtype)[..., None]
+        in_x1 = ((x1 >= 0) & (x1 <= W - 1)).astype(img.dtype)[..., None]
+        in_y0 = ((y0 >= 0) & (y0 <= H - 1)).astype(img.dtype)[..., None]
+        in_y1 = ((y1 >= 0) & (y1 <= H - 1)).astype(img.dtype)[..., None]
+        v00 = v00 * (in_y0 * in_x0)
+        v01 = v01 * (in_y0 * in_x1)
+        v10 = v10 * (in_y1 * in_x0)
+        v11 = v11 * (in_y1 * in_x1)
+
+    tx = tx[..., None].astype(img.dtype)
+    ty = ty[..., None].astype(img.dtype)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty

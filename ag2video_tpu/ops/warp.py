@@ -1,0 +1,40 @@
+"""Optical-flow warping (reference `resample`, models/utils.py:113-140).
+
+Warps an image by a dense pixel-unit flow field: the base identity grid plus
+flow normalized by (size-1)/2, sampled bilinearly with border padding and
+align_corners=False (reference module constant ALIGN_CORNERS=False,
+data/args.py:228). NHWC layout; flow is (..., H, W, 2) in (x, y) pixel units.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.sampling import grid_sample_2d
+
+
+def flow_grid(flow: jnp.ndarray) -> jnp.ndarray:
+    """Identity grid + normalized flow -> [-1, 1] sampling grid (x, y)."""
+    *lead, H, W, _ = flow.shape
+    xs = jnp.linspace(-1.0, 1.0, W, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+    base = jnp.stack(
+        [jnp.broadcast_to(xs[None, :], (H, W)),
+         jnp.broadcast_to(ys[:, None], (H, W))],
+        axis=-1,
+    )
+    # flow px/py -> normalized offsets (reference models/utils.py:122).
+    scale = jnp.array([(W - 1.0) / 2.0, (H - 1.0) / 2.0], dtype=jnp.float32)
+    return base + flow.astype(jnp.float32) / scale
+
+
+def resample(image: jnp.ndarray, flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Warp `image` (..., H, W, C) by `flow` (..., H, W, 2) in pixel units."""
+    if flow is None:
+        flow = jnp.zeros(image.shape[:-1] + (2,), dtype=jnp.float32)
+    grid = flow_grid(flow)
+    return grid_sample_2d(
+        image, grid, align_corners=False, padding_mode="border"
+    )

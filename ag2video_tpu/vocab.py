@@ -1,0 +1,139 @@
+"""Vocabulary construction for the supported datasets.
+
+Matches the reference's vocab dict structure exactly so `run_args.json` and
+checkpoints remain interoperable conceptually:
+  - pred_name_to_idx / pred_idx_to_name (spatial relations)
+  - action_name_to_idx / action_idx_to_name
+  - attributes: {family: {name: idx}} and reverse_attributes
+  - object_name_to_idx
+Reference: data/cater.py:91-122 (CATER), data/smth.py:84-104 (SmthElse).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+PAD_PRED = "__padding__"
+PAD_ACTION = "__padding__"
+IMAGE_ATTR = "__image__"
+
+
+def _invert(d: Dict[str, int]) -> Dict[int, str]:
+    return {v: k for k, v in d.items()}
+
+
+def cater_vocab() -> Dict[str, Any]:
+    """CATER vocab (reference: data/cater.py:91-122)."""
+    vocab: Dict[str, Any] = {}
+    vocab["pred_name_to_idx"] = {
+        "__in_image__": 0, "right": 1, "above": 2, "below": 3, "left": 4,
+        "surrounding": 5, "inside": 6, "__padding__": 7,
+    }
+    vocab["action_name_to_idx"] = {
+        "__in_image__": 0, "_no_op": 1, "_slide": 2, "_contain": 3,
+        "_rotate": 4, "_pick_place": 5, "__padding__": 6,
+    }
+    vocab["attributes"] = {
+        "shape": {"__image__": 0, "cube": 1, "sphere": 2, "cylinder": 3,
+                  "spl": 4, "cone": 5},
+        "color": {"__image__": 0, "gray": 1, "red": 2, "blue": 3, "green": 4,
+                  "brown": 5, "purple": 6, "cyan": 7, "yellow": 8, "gold": 9},
+        "material": {"__image__": 0, "rubber": 1, "metal": 2},
+        "size": {"__image__": 0, "small": 1, "large": 2, "medium": 3},
+    }
+    return _finalize(vocab)
+
+
+def smth_else_vocab() -> Dict[str, Any]:
+    """Something-Else vocab (reference: data/smth.py:84-104).
+
+    Single `object` attribute family; geometric spatial predicates; 8
+    directional hand-motion actions.
+    """
+    vocab: Dict[str, Any] = {}
+    vocab["pred_name_to_idx"] = {
+        "__in_image__": 0, "right": 1, "above": 2, "below": 3, "left": 4,
+        "surrounding": 5, "inside": 6, "__padding__": 7,
+    }
+    vocab["action_name_to_idx"] = {
+        "__in_image__": 0,
+        "_move_up": 1, "_move_right": 2, "_move_down": 3, "_move_left": 4,
+        "_pick_place": 5, "_move_closer": 6, "_move_away": 7, "_uncover": 8,
+        "__padding__": 9,
+    }
+    vocab["attributes"] = {
+        "object": {"__image__": 0, "object": 1, "hand": 2},
+    }
+    return _finalize(vocab)
+
+
+def synthetic_vocab() -> Dict[str, Any]:
+    """Vocab for the built-in synthetic moving-shapes dataset (the reference
+    advertises --dataset synthetic without implementing it, data/args.py:23)."""
+    vocab: Dict[str, Any] = {}
+    vocab["pred_name_to_idx"] = {
+        "__in_image__": 0, "right": 1, "above": 2, "below": 3, "left": 4,
+        "__padding__": 5,
+    }
+    vocab["action_name_to_idx"] = {
+        "__in_image__": 0, "_no_op": 1, "_slide": 2, "_pick_place": 3,
+        "__padding__": 4,
+    }
+    vocab["attributes"] = {
+        "shape": {"__image__": 0, "square": 1, "disc": 2, "diamond": 3},
+        "color": {"__image__": 0, "red": 1, "green": 2, "blue": 3,
+                  "yellow": 4, "magenta": 5, "cyan": 6},
+        "size": {"__image__": 0, "small": 1, "large": 2},
+    }
+    return _finalize(vocab)
+
+
+def _finalize(vocab: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill inverse maps + object_name_to_idx (reference: data/cater.py:108-122)."""
+    vocab["pred_idx_to_name"] = _invert(vocab["pred_name_to_idx"])
+    vocab["action_idx_to_name"] = _invert(vocab["action_name_to_idx"])
+    vocab["reverse_attributes"] = {
+        attr: _invert(m) for attr, m in vocab["attributes"].items()
+    }
+    # Flat object-name table; index 0 is the dummy __image__ entry.
+    vocab["object_name_to_idx"] = {}
+    ind = 0
+    for attr, table in vocab["attributes"].items():
+        for attr_label in table:
+            if ind != 0:
+                vocab["object_name_to_idx"][f"{attr_label}_{ind}"] = ind
+            else:
+                vocab["object_name_to_idx"][attr_label] = ind
+            ind += 1
+    return vocab
+
+
+VOCABS = {
+    "cater": cater_vocab,
+    "smth_else": smth_else_vocab,
+    "synthetic": synthetic_vocab,
+}
+
+
+def get_vocab(dataset: str) -> Dict[str, Any]:
+    if dataset not in VOCABS:
+        raise ValueError(f"Unknown dataset {dataset!r}; options: {sorted(VOCABS)}")
+    return VOCABS[dataset]()
+
+
+def num_attributes(vocab) -> int:
+    return len(vocab["attributes"])
+
+
+def attr_cardinalities(vocab) -> Dict[str, int]:
+    """Embedding-table sizes per attribute family: max index + 1
+    (reference: models/attribute_embed.py:27)."""
+    return {a: max(t.values()) + 1 for a, t in vocab["attributes"].items()}
+
+
+def pad_pred_idx(vocab) -> int:
+    return vocab["pred_name_to_idx"][PAD_PRED]
+
+
+def pad_action_idx(vocab) -> int:
+    return vocab["action_name_to_idx"][PAD_ACTION]

@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is unavailable in CI; sharding/collective tests use
+XLA's host-platform device virtualization (the fake-backend strategy the
+reference lacks entirely — its SyncBN asserts CUDA,
+reference sync_batchnorm/batchnorm.py:53).
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU platform,
+# but tests need (a) bit-accurate fp32 for torch-oracle parity and (b) the
+# 8-device virtual mesh below.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The ambient TPU plugin ignores the env var, so set the config flag too.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,131 @@
+"""Oracle tests: the closed-form rasterizer vs the reference algorithm.
+
+The torch oracle below re-executes the reference's *algorithm* (grid-sample a
+constant O x D x 8 x 8 tile through the inverse-affine grid, sum over objects;
+models/layout.py:28-130) using torch primitives, and the closed-form einsum
+must match it to fp32 tolerance for random boxes including out-of-frame,
+flipped, and degenerate cases.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.rasterize import (
+    box_coverage,
+    boxes_to_layout,
+    boxes_to_layout_batch,
+    boxes_to_mask,
+)
+
+
+def torch_reference_boxes_to_layout(vecs, boxes, H, W):
+    """The reference pipeline (models/layout.py:28-63) on torch CPU."""
+    vecs = torch.from_numpy(vecs)
+    boxes = torch.from_numpy(boxes)
+    legal = (boxes != 0).any(dim=-1)
+    boxes = boxes[legal]
+    vecs = vecs[legal]
+    O, D = vecs.shape
+    if O == 0:
+        return np.zeros((H, W, D), np.float32)
+
+    b = boxes.view(O, 4, 1, 1)
+    x0, y0, ww, hh = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    X = torch.linspace(0, 1, steps=W).view(1, 1, W)
+    Y = torch.linspace(0, 1, steps=H).view(1, H, 1)
+    X = ((X - x0) / ww).expand(O, H, W)
+    Y = ((Y - y0) / hh).expand(O, H, W)
+    grid = torch.stack([X, Y], dim=3) * 2 - 1
+
+    img_in = vecs.view(O, D, 1, 1).expand(O, D, 8, 8)
+    sampled = F.grid_sample(img_in, grid, align_corners=True)
+    out = sampled.sum(dim=0)  # (D, H, W)
+    return out.permute(1, 2, 0).numpy()
+
+
+@pytest.mark.parametrize("H,W", [(16, 16), (32, 24)])
+def test_boxes_to_layout_matches_reference(rng, H, W):
+    O, D = 6, 5
+    vecs = rng.randn(O, D).astype(np.float32)
+    # Mix of in-frame, straddling, and out-of-frame boxes.
+    boxes = np.stack(
+        [
+            rng.uniform(-0.3, 1.0, O).astype(np.float32),
+            rng.uniform(-0.3, 1.0, O).astype(np.float32),
+            rng.uniform(0.05, 0.8, O).astype(np.float32),
+            rng.uniform(0.05, 0.8, O).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    ref = torch_reference_boxes_to_layout(vecs, boxes, H, W)
+    ours = np.asarray(boxes_to_layout(jnp.asarray(vecs), jnp.asarray(boxes), H, W))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_boxes_to_layout_zero_box_removed(rng):
+    O, D, H = 4, 3, 16
+    vecs = rng.randn(O, D).astype(np.float32)
+    boxes = rng.uniform(0.1, 0.6, (O, 4)).astype(np.float32)
+    boxes[2] = 0.0  # "illegal" all-zero box (models/layout.py:40-42)
+    ref = torch_reference_boxes_to_layout(vecs, boxes, H, H)
+    ours = np.asarray(boxes_to_layout(jnp.asarray(vecs), jnp.asarray(boxes), H))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_full_image_box_is_constant():
+    # The dummy __image__ object with box [0,0,1,1] must cover every pixel
+    # with weight 1 (reference cater.py:327 adds it to every scene).
+    vecs = np.ones((1, 2), np.float32)
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
+    out = np.asarray(boxes_to_layout(jnp.asarray(vecs), jnp.asarray(boxes), 8))
+    np.testing.assert_allclose(out, np.ones((8, 8, 2)), atol=1e-6)
+
+
+def test_batched_matches_single(rng):
+    B, T, O, D, H = 2, 3, 5, 4, 12
+    vecs = rng.randn(B, T, O, D).astype(np.float32)
+    boxes = rng.uniform(0.0, 0.7, (B, T, O, 4)).astype(np.float32)
+    mask = (rng.rand(B, T, O) > 0.2).astype(np.float32)
+
+    full = np.asarray(
+        boxes_to_layout_batch(jnp.asarray(vecs), jnp.asarray(boxes), H,
+                              mask=jnp.asarray(mask))
+    )
+    for b in range(B):
+        for t in range(T):
+            single = np.asarray(
+                boxes_to_layout(jnp.asarray(vecs[b, t]), jnp.asarray(boxes[b, t]),
+                                H, mask=jnp.asarray(mask[b, t]))
+            )
+            np.testing.assert_allclose(full[b, t], single, rtol=1e-5, atol=1e-6)
+
+
+def test_coverage_mask_zeroes(rng):
+    O, H = 3, 10
+    boxes = rng.uniform(0.1, 0.5, (O, 4)).astype(np.float32)
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    cov = np.asarray(box_coverage(jnp.asarray(boxes), H, H, mask))
+    assert cov[1].max() == 0.0
+    assert cov[0].max() > 0.0
+
+
+def test_rasterize_grad_wrt_boxes(rng):
+    O, D, H = 3, 2, 16
+    vecs = jnp.asarray(rng.randn(O, D).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.2, 0.5, (O, 4)).astype(np.float32))
+
+    g = jax.grad(lambda b: jnp.sum(boxes_to_layout(vecs, b, H) ** 2))(boxes)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_boxes_to_mask_basic():
+    boxes = jnp.asarray([[0.25, 0.25, 0.5, 0.5]], jnp.float32)
+    m = np.asarray(boxes_to_mask(boxes, 8, 8))
+    assert m.shape == (8, 8)
+    assert m[3, 3] == 1.0 and m[0, 0] == 0.0

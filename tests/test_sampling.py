@@ -1,0 +1,67 @@
+"""Oracle tests: grid_sample_2d vs torch.nn.functional.grid_sample.
+
+torch (CPU) is the reference's backend, so matching it bit-for-bit (to fp32
+tolerance) locks in the semantics the models were trained with — both
+align_corners variants and both padding modes the reference mixes
+(models/layout.py:53 vs models/utils.py:118).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.sampling import grid_sample_2d
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_sample_matches_torch(rng, align_corners, padding_mode):
+    N, H, W, C = 2, 9, 11, 3
+    Ho, Wo = 7, 5
+    img = rng.randn(N, H, W, C).astype(np.float32)
+    # Include well-out-of-range coords to exercise padding.
+    grid = (rng.rand(N, Ho, Wo, 2).astype(np.float32) * 3.0) - 1.5
+
+    ours = np.asarray(
+        grid_sample_2d(
+            jnp.asarray(img), jnp.asarray(grid),
+            align_corners=align_corners, padding_mode=padding_mode,
+        )
+    )
+
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear", padding_mode=padding_mode, align_corners=align_corners,
+    ).permute(0, 2, 3, 1).numpy()
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_identity():
+    H = W = 8
+    img = np.arange(H * W, dtype=np.float32).reshape(1, H, W, 1)
+    xs = np.linspace(-1, 1, W, dtype=np.float32)
+    ys = np.linspace(-1, 1, H, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, ys), axis=-1)[None]
+    out = np.asarray(
+        grid_sample_2d(jnp.asarray(img), jnp.asarray(grid), align_corners=True)
+    )
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_grid_sample_grad_finite(rng):
+    import jax
+
+    img = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+    grid = jnp.asarray((rng.rand(1, 4, 4, 2).astype(np.float32) * 2 - 1))
+
+    def loss(g):
+        return jnp.sum(grid_sample_2d(img, g, align_corners=False,
+                                      padding_mode="border") ** 2)
+
+    g = jax.grad(loss)(grid)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -1,0 +1,174 @@
+"""Oracle tests for flow warp, bbox crop, box transforms and IoU vs torch."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ag2video_tpu.ops.boxes import (
+    apply_box_transform,
+    centers_to_extents,
+    extents_to_centers,
+    invert_box_transform,
+    xywh_to_xyxy,
+)
+from ag2video_tpu.ops.crop import crop_bbox, crop_bbox_batch
+from ag2video_tpu.ops.metrics import iou_xywh
+from ag2video_tpu.ops.warp import resample
+
+
+def torch_resample(image_nchw, flow_nchw):
+    """Reference resample (models/utils.py:113-140), ALIGN_CORNERS=False."""
+    b, c, h, w = image_nchw.shape
+    hor = torch.linspace(-1.0, 1.0, w).view(1, 1, 1, w).expand(b, 1, h, w)
+    ver = torch.linspace(-1.0, 1.0, h).view(1, 1, h, 1).expand(b, 1, h, w)
+    grid = torch.cat([hor, ver], 1)
+    flow = torch.cat(
+        [flow_nchw[:, 0:1] / ((w - 1.0) / 2.0), flow_nchw[:, 1:2] / ((h - 1.0) / 2.0)],
+        dim=1,
+    )
+    final = (grid + flow).permute(0, 2, 3, 1)
+    return F.grid_sample(image_nchw, final, mode="bilinear",
+                         padding_mode="border", align_corners=False)
+
+
+def test_resample_matches_reference(rng):
+    B, H, W, C = 2, 12, 10, 3
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    flow = (rng.randn(B, H, W, 2) * 3).astype(np.float32)
+
+    ours = np.asarray(resample(jnp.asarray(img), jnp.asarray(flow)))
+    ref = (
+        torch_resample(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            torch.from_numpy(flow).permute(0, 3, 1, 2),
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resample_zero_flow_matches_torch(rng):
+    # NB: with align_corners=False the linspace(-1,1) base grid is NOT an
+    # exact identity (half-pixel zoom) — this matches the reference's actual
+    # behavior (models/utils.py:127-140 + ALIGN_CORNERS=False), so we assert
+    # parity with torch, not identity.
+    img = rng.randn(1, 8, 8, 2).astype(np.float32)
+    out = np.asarray(resample(jnp.asarray(img), jnp.zeros((1, 8, 8, 2))))
+    ref = (
+        torch_resample(
+            torch.from_numpy(img).permute(0, 3, 1, 2),
+            torch.zeros(1, 2, 8, 8),
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def torch_crop_bbox(feats_nchw, bbox_xywh, HH, WW):
+    """Reference crop_bbox cudnn path (models/bilinear.py:102-131)."""
+    bbox = bbox_xywh.clone()
+    bbox[:, 2] = bbox_xywh[:, 0] + bbox_xywh[:, 2]
+    bbox[:, 3] = bbox_xywh[:, 1] + bbox_xywh[:, 3]
+    bbox = 2 * bbox - 1
+    N = feats_nchw.size(0)
+    x0, y0, x1, y1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+
+    def tls(start, end, steps):
+        w0 = torch.linspace(1, 0, steps=steps)
+        w1 = torch.linspace(0, 1, steps=steps)
+        return start[:, None] * w0[None] + end[:, None] * w1[None]
+
+    X = tls(x0, x1, WW).view(N, 1, WW).expand(N, HH, WW)
+    Y = tls(y0, y1, HH).view(N, HH, 1).expand(N, HH, WW)
+    grid = torch.stack([X, Y], dim=3)
+    return F.grid_sample(feats_nchw, grid, align_corners=True)
+
+
+def test_crop_bbox_matches_reference(rng):
+    N, H, W, C, HH = 3, 20, 20, 2, 8
+    feats = rng.randn(N, H, W, C).astype(np.float32)
+    bbox = np.stack(
+        [
+            rng.uniform(0, 0.5, N),
+            rng.uniform(0, 0.5, N),
+            rng.uniform(0.2, 0.5, N),
+            rng.uniform(0.2, 0.5, N),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    ours = np.asarray(crop_bbox(jnp.asarray(feats), jnp.asarray(bbox), HH))
+    ref = (
+        torch_crop_bbox(torch.from_numpy(feats).permute(0, 3, 1, 2),
+                        torch.from_numpy(bbox), HH, HH)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_bbox_batch_masks_invalid(rng):
+    B, T, O, H, C = 2, 2, 3, 16, 3
+    imgs = rng.randn(B, T, H, H, C).astype(np.float32)
+    bbox = rng.uniform(0.1, 0.4, (B, T, O, 4)).astype(np.float32)
+    bbox[0, 0, 1] = 0.0  # illegal
+    mask = np.ones((B, O), np.float32)
+    mask[1, 2] = 0.0  # dummy
+
+    crops, legal = crop_bbox_batch(jnp.asarray(imgs), jnp.asarray(bbox), 8,
+                                   mask=jnp.asarray(mask))
+    crops, legal = np.asarray(crops), np.asarray(legal)
+    assert crops.shape == (B, T, O, 8, 8, C)
+    assert not legal[0, 0, 1] and np.all(crops[0, 0, 1] == 0)
+    assert not legal[1, 0, 2] and np.all(crops[1, :, 2] == 0)
+    assert legal[0, 0, 0]
+
+
+def test_box_transforms_roundtrip(rng):
+    anchors = jnp.asarray(rng.uniform(0.2, 0.8, (5, 4)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.2, 0.8, (5, 4)).astype(np.float32))
+    t = invert_box_transform(anchors, boxes)
+    rec = apply_box_transform(anchors, t)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(boxes), rtol=1e-5)
+
+    ext = centers_to_extents(boxes)
+    cen = extents_to_centers(ext)
+    np.testing.assert_allclose(np.asarray(cen), np.asarray(boxes), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_iou_matches_reference(rng):
+    a = rng.uniform(0.0, 0.5, (10, 4)).astype(np.float32)
+    b = rng.uniform(0.0, 0.5, (10, 4)).astype(np.float32)
+
+    ours = np.asarray(iou_xywh(jnp.asarray(a), jnp.asarray(b)))
+
+    # Reference jaccard (models/metrics.py:34-50).
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+
+    def xywh_to_points(p):
+        q = p.clone()
+        q[:, 2] = p[:, 0] + p[:, 2]
+        q[:, 3] = p[:, 1] + p[:, 3]
+        return q
+
+    ta, tb = xywh_to_points(ta), xywh_to_points(tb)
+    max_xy = torch.min(ta[:, 2:], tb[:, 2:])
+    min_xy = torch.max(ta[:, :2], tb[:, :2])
+    inter = torch.clamp(max_xy - min_xy, min=0)
+    inter = inter[:, 0] * inter[:, 1]
+    area_a = (ta[:, 2] - ta[:, 0]) * (ta[:, 3] - ta[:, 1])
+    area_b = (tb[:, 2] - tb[:, 0]) * (tb[:, 3] - tb[:, 1])
+    ref = (inter / (area_a + area_b - inter)).numpy()
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_xywh_to_xyxy_leading_dims(rng):
+    b = rng.uniform(0, 1, (2, 3, 4)).astype(np.float32)
+    out = np.asarray(xywh_to_xyxy(jnp.asarray(b)))
+    np.testing.assert_allclose(out[..., 2], b[..., 0] + b[..., 2], rtol=1e-6)
