@@ -1,0 +1,14 @@
+"""Loss stack (L3): GAN losses, perceptual loss, and the three loss modes
+of the reference's LossModel (graph / generator / discriminator)."""
+
+from ag2video_tpu.losses.gan import (  # noqa: F401
+    gan_loss,
+    multiscale_gan_loss,
+    get_gan_losses,
+)
+from ag2video_tpu.losses.loss_model import (  # noqa: F401
+    compute_discriminator_loss,
+    compute_generator_loss,
+    compute_graph_loss,
+)
+from ag2video_tpu.losses.perceptual import vgg_loss  # noqa: F401

@@ -1,0 +1,109 @@
+"""GAN losses.
+
+`gan_loss`/`multiscale_gan_loss` mirror the reference GANLoss
+(models/spade_models/networks/loss.py:16-98): hinge / ls / original (BCE) /
+wgan, with the multiscale-discriminator list-of-lists convention (use the
+last tensor of each scale, average scale losses). The functional g/d pairs
+mirror models/losses.py:21-145.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Numerically stable BCE-with-logits, mean-reduced
+    (reference models/losses.py:39-57)."""
+    neg_abs = -jnp.abs(x)
+    loss = jnp.clip(x, min=0) - x * target + jnp.log1p(jnp.exp(neg_abs))
+    return jnp.mean(loss)
+
+
+def gan_loss(
+    logits: jnp.ndarray,
+    target_is_real: bool,
+    for_discriminator: bool,
+    mode: str = "hinge",
+) -> jnp.ndarray:
+    """Single-tensor GAN loss (reference loss.py:57-82)."""
+    x = logits.astype(jnp.float32)
+    if mode == "original":
+        t = jnp.full_like(x, 1.0 if target_is_real else 0.0)
+        return bce_with_logits(x, t)
+    if mode == "ls":
+        t = jnp.full_like(x, 1.0 if target_is_real else 0.0)
+        return jnp.mean((x - t) ** 2)
+    if mode == "hinge":
+        if for_discriminator:
+            if target_is_real:
+                return -jnp.mean(jnp.minimum(x - 1, 0.0))
+            return -jnp.mean(jnp.minimum(-x - 1, 0.0))
+        assert target_is_real, "generator hinge loss must aim for real"
+        return -jnp.mean(x)
+    if mode == "w":
+        return -jnp.mean(x) if target_is_real else jnp.mean(x)
+    raise ValueError(f"Unexpected gan_mode {mode}")
+
+
+def multiscale_gan_loss(
+    preds: Sequence[List[jnp.ndarray]],
+    target_is_real: bool,
+    for_discriminator: bool,
+    mode: str = "hinge",
+) -> jnp.ndarray:
+    """List-of-lists discriminator outputs -> scalar (reference loss.py:84-96):
+    last tensor per scale is the patch logits; scale losses averaged."""
+    total = 0.0
+    for per_scale in preds:
+        logits = per_scale[-1] if isinstance(per_scale, (list, tuple)) else per_scale
+        total = total + gan_loss(logits, target_is_real, for_discriminator, mode)
+    return total / len(preds)
+
+
+# --- functional pairs (reference models/losses.py:21-145) ---
+
+def gan_g_loss(scores_fake):
+    return bce_with_logits(scores_fake.reshape(-1),
+                           jnp.ones_like(scores_fake.reshape(-1)))
+
+
+def gan_d_loss(scores_real, scores_fake):
+    r = scores_real.reshape(-1)
+    f = scores_fake.reshape(-1)
+    return bce_with_logits(r, jnp.ones_like(r)) + bce_with_logits(
+        f, jnp.zeros_like(f))
+
+
+def wgan_g_loss(scores_fake):
+    return -jnp.mean(scores_fake)
+
+
+def wgan_d_loss(scores_real, scores_fake):
+    return jnp.mean(scores_fake) - jnp.mean(scores_real)
+
+
+def lsgan_g_loss(scores_fake):
+    s = jax.nn.sigmoid(scores_fake.reshape(-1))
+    return jnp.mean((s - 1.0) ** 2)
+
+
+def lsgan_d_loss(scores_real, scores_fake):
+    r = jax.nn.sigmoid(scores_real.reshape(-1))
+    f = jax.nn.sigmoid(scores_fake.reshape(-1))
+    return jnp.mean((r - 1.0) ** 2) + jnp.mean(f ** 2)
+
+
+def get_gan_losses(gan_type: str):
+    """(g_loss, d_loss) pair by name (reference losses.py:21-36)."""
+    table = {
+        "gan": (gan_g_loss, gan_d_loss),
+        "wgan": (wgan_g_loss, wgan_d_loss),
+        "lsgan": (lsgan_g_loss, lsgan_d_loss),
+    }
+    if gan_type not in table:
+        raise ValueError(f'Unrecognized GAN type "{gan_type}"')
+    return table[gan_type]

@@ -1,0 +1,151 @@
+"""The three loss modes of the reference LossModel
+(models/spade_models/loss_model.py:13-149), as pure functions.
+
+The reference wraps these in a DataParallel'd nn.Module; here they are
+side-effect-free functions of (config, batch, model outputs, discriminator
+closure) suitable for jit/grad composition. Each returns a dict of named
+scalar losses including 'total_loss'.
+
+Batches are dicts with keys: imgs (B,T,H,W,3), objs (B,O,A),
+boxes (B,T,O,4), triplets (B,T,E,3), actions (B,A,7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.losses.gan import gan_loss, multiscale_gan_loss
+from ag2video_tpu.losses.perceptual import vgg_loss
+from ag2video_tpu.ops.warp import resample
+
+DApply = Callable[..., List[List[jnp.ndarray]]]
+
+
+def smooth_l1(x: jnp.ndarray, y: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    """Elementwise smooth-L1 (torch F.smooth_l1_loss reduction='none')."""
+    d = jnp.abs(x - y)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def _slice_actions_data(actions_data: Dict[str, jnp.ndarray], ncond: int):
+    """Drop conditioning frames from every F-axis entry
+    (reference loss_model.py:70)."""
+    return {k: v[:, ncond:] for k, v in actions_data.items()}
+
+
+def compute_graph_loss(
+    cfg: Config, batch: Dict[str, jnp.ndarray], boxes_pred: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Masked smooth-L1 on box deltas x bbox_pred_loss_weight
+    (reference loss_model.py:41-60). The mean is taken over ALL (incl.
+    masked) elements, preserving the reference's normalization."""
+    boxes = batch["boxes"]
+    objs = batch["objs"]
+    T = boxes.shape[1]
+
+    per_elem = smooth_l1(
+        boxes_pred[:, 1:].astype(jnp.float32), boxes[:, 1:].astype(jnp.float32)
+    ) * cfg.bbox_pred_loss_weight  # (B, T-1, O, 4)
+
+    # Real-object mask: any attribute nonzero (reference loss_model.py:50-53).
+    real = (jnp.sum(objs, axis=-1) != 0).astype(jnp.float32)  # (B, O)
+    mask = jnp.broadcast_to(real[:, None, :, None], per_elem.shape)
+
+    losses = {"bbox_pred": jnp.mean(per_elem * mask)}
+    losses["total_loss"] = losses["bbox_pred"]
+    return losses
+
+
+def compute_generator_loss(
+    cfg: Config,
+    batch: Dict[str, jnp.ndarray],
+    model_out: Dict[str, Any],
+    d_apply: DApply,
+    vgg_features: Optional[Callable] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Hinge GAN + feature matching + flow-warp L1 + VGG perceptual
+    (reference loss_model.py:62-103)."""
+    imgs, objs, boxes = batch["imgs"], batch["objs"], batch["boxes"]
+    imgs_pred = model_out["imgs_pred"]
+    flows_pred = model_out["flows_pred"]
+    actions_data = model_out["actions_data"]
+    ncond = cfg.n_frames_G - 1
+
+    rel_imgs = imgs[:, ncond:]
+    rel_boxes = boxes[:, ncond:]
+    rel_imgs_pred = imgs_pred[:, ncond:]
+    rel_actions = _slice_actions_data(actions_data, ncond)
+
+    losses: Dict[str, jnp.ndarray] = {}
+
+    pred_fake = d_apply(rel_imgs_pred, objs, rel_boxes, rel_actions)
+    losses["GAN_Img"] = (
+        multiscale_gan_loss(pred_fake, True, False, cfg.gan_mode)
+        * cfg.discriminator_img_loss_weight
+    )
+
+    if not cfg.no_ganFeat_loss:
+        pred_real = d_apply(rel_imgs, objs, rel_boxes, rel_actions)
+        num_D = len(pred_fake)
+        feat = 0.0
+        for i in range(num_D):
+            for j in range(len(pred_fake[i]) - 1):  # exclude the logits
+                feat = feat + jnp.mean(
+                    jnp.abs(
+                        pred_fake[i][j].astype(jnp.float32)
+                        - jax.lax.stop_gradient(pred_real[i][j]).astype(jnp.float32)
+                    )
+                ) * (cfg.lambda_feat / num_D)
+        losses["GAN_Feat"] = feat
+
+    # Flow-warp loss: warp frame t-1 by predicted flow -> frame t
+    # (reference loss_model.py:89-97).
+    src = imgs[:, ncond - 1:-1]
+    flw = flows_pred[:, ncond - 1:-1]
+    tgt = imgs[:, ncond:]
+    warped = resample(
+        src.reshape((-1,) + src.shape[2:]),
+        flw.reshape((-1,) + flw.shape[2:]),
+    )
+    losses["loss_F_Warp"] = (
+        jnp.mean(jnp.abs(warped - tgt.reshape(warped.shape))) * cfg.lambda_F_warp
+    )
+
+    if not cfg.no_vgg_loss and vgg_features is not None:
+        losses["VGG"] = vgg_loss(vgg_features, rel_imgs_pred, rel_imgs) * cfg.lambda_vgg
+
+    losses["total_loss"] = sum(losses.values())
+    return losses
+
+
+def compute_discriminator_loss(
+    cfg: Config,
+    batch: Dict[str, jnp.ndarray],
+    model_out: Dict[str, Any],
+    d_apply: DApply,
+) -> Dict[str, jnp.ndarray]:
+    """Hinge real/fake on detached predictions (reference loss_model.py:105-132)."""
+    imgs, objs, boxes = batch["imgs"], batch["objs"], batch["boxes"]
+    imgs_pred = model_out["imgs_pred"]
+    actions_data = model_out["actions_data"]
+    ncond = cfg.n_frames_G - 1
+
+    rel_imgs = imgs[:, ncond:]
+    rel_boxes = boxes[:, ncond:]
+    rel_imgs_pred = jax.lax.stop_gradient(imgs_pred[:, ncond:])
+    rel_actions = _slice_actions_data(
+        jax.tree.map(jax.lax.stop_gradient, actions_data), ncond)
+
+    pred_fake = d_apply(rel_imgs_pred, objs, rel_boxes, rel_actions)
+    pred_real = d_apply(rel_imgs, objs, rel_boxes, rel_actions)
+
+    losses = {
+        "D_img_fake": multiscale_gan_loss(pred_fake, False, True, cfg.gan_mode),
+        "D_img_real": multiscale_gan_loss(pred_real, True, True, cfg.gan_mode),
+    }
+    losses["total_img_loss"] = losses["D_img_fake"] + losses["D_img_real"]
+    return losses

@@ -1,0 +1,33 @@
+"""VGG perceptual loss (reference: loss.py:102-118).
+
+5-slice weighted L1 on VGG19 relu{1..5}_1 features with weights
+[1/32, 1/16, 1/8, 1/4, 1]; video input is folded (B*T) before feature
+extraction (reference VGGLoss.forward flattens frames).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List
+
+import jax
+import jax.numpy as jnp
+
+VGG_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+
+def vgg_loss(
+    vgg_features: Callable[[jnp.ndarray], List[jnp.ndarray]],
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+) -> jnp.ndarray:
+    """x, y: (B, T, H, W, 3) videos (or (N, H, W, 3) images)."""
+    if x.ndim == 5:
+        x = x.reshape((-1,) + x.shape[2:])
+        y = y.reshape((-1,) + y.shape[2:])
+    fx = vgg_features(x)
+    fy = vgg_features(y)
+    loss = 0.0
+    for w, a, b in zip(VGG_WEIGHTS, fx, fy):
+        loss = loss + w * jnp.mean(
+            jnp.abs(a.astype(jnp.float32) - jax.lax.stop_gradient(b).astype(jnp.float32)))
+    return loss

@@ -1,0 +1,20 @@
+"""Neural network modules (L2/L3): graph models, SPADE generator stack,
+flow network, discriminators, and the composed AG2Video meta-model.
+
+All modules are flax.linen, NHWC, with fp32 parameters and configurable
+compute dtype (bf16 by default on TPU). Mutable collections:
+  - 'spectral':    spectral-norm power-iteration vectors
+  - 'batch_stats': BatchNorm running statistics
+"""
+
+from ag2video_tpu.models.embeddings import AttributeEmbeddings  # noqa: F401
+from ag2video_tpu.models.gcn import GraphTripleConv  # noqa: F401
+from ag2video_tpu.models.layout_model import Acts2LayoutModel  # noqa: F401
+from ag2video_tpu.models.spade import SPADE, SPADEResnetBlock, SPADEGenerator  # noqa: F401
+from ag2video_tpu.models.flow import FlowsGenerator  # noqa: F401
+from ag2video_tpu.models.generator import Layout2VidGenerator  # noqa: F401
+from ag2video_tpu.models.discriminator import (  # noqa: F401
+    MultiscaleActionDiscriminator,
+    NLayerActionDiscriminator,
+)
+from ag2video_tpu.models.meta import AG2VideoModel  # noqa: F401

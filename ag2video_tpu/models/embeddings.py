@@ -1,0 +1,48 @@
+"""Attribute embeddings (reference: models/attribute_embed.py).
+
+One embedding table per attribute family, concatenated, with an optional
+shared FC (applied when there is more than one family or when forced —
+reference attribute_embed.py:22-23, 44-45).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class AttributeEmbeddings(nn.Module):
+    """objs (..., O, A) integer attribute ids -> (..., O, A * embedding_dim).
+
+    `cardinalities` maps family name -> table size (max idx + 1, reference
+    attribute_embed.py:27); iteration order must match the objs column
+    order (the dataset's attribute order).
+    """
+
+    cardinalities: Dict[str, int]
+    embedding_dim: int
+    use_attr_fc_gen: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, objs: jnp.ndarray) -> jnp.ndarray:
+        families = list(self.cardinalities)
+        assert objs.shape[-1] == len(families), (objs.shape, families)
+        vecs = []
+        for k, fam in enumerate(families):
+            emb = nn.Embed(
+                self.cardinalities[fam], self.embedding_dim,
+                dtype=self.dtype, name=f"att_emb_{k}",
+            )(objs[..., k])
+            vecs.append(emb)
+        out = jnp.concatenate(vecs, axis=-1)
+        if len(families) > 1 or self.use_attr_fc_gen:
+            out = nn.Dense(
+                len(families) * self.embedding_dim, dtype=self.dtype,
+                name="attribute_fc_gen",
+            )(out)
+        return out

@@ -1,0 +1,104 @@
+"""Optical-flow generator (reference: models/spade_models/networks/
+flows_generator.py:13-68).
+
+Encoder (1x stride-1 + n_downsample_F stride-2 NormConvs) -> n_blocks_F
+residual blocks -> nearest-upsample decoder; two heads: flow (2ch, scaled by
+flow_multiplier) and weight (1ch sigmoid — computed for parity, unused by
+the default generator path, reference generator.py:75).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ag2video_tpu.models.layers import leaky_relu_02, upsample_nearest
+from ag2video_tpu.models.normalization import NormConv, SNConv
+
+
+Dtype = Any
+
+
+class FlowResBlock(nn.Module):
+    """The flows file's own resblock variant (flows_generator.py:71-109):
+    plain affine norm (not SPADE) -> lrelu -> spectral conv, twice; identity
+    shortcut (fin == fout in this network)."""
+
+    features: int
+    norm: str = "spectralsyncbatch"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        assert x.shape[-1] == self.features, "identity shortcut requires fin==fout"
+        spectral = "spectral" in self.norm
+        sub = self.norm.replace("spectral", "")
+
+        def norm(y, name):
+            if "batch" in sub:
+                return nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype, name=name)(y)
+            if "instance" in sub:
+                return nn.GroupNorm(num_groups=y.shape[-1], use_scale=False,
+                                    use_bias=False, dtype=self.dtype,
+                                    name=name)(y)
+            return y
+
+        dx = norm(x, "bn_0")
+        dx = SNConv(self.features, 3, spectral=spectral, dtype=self.dtype,
+                    name="conv_0")(leaky_relu_02(dx), train)
+        dx = norm(dx, "bn_1")
+        dx = SNConv(self.features, 3, spectral=spectral, dtype=self.dtype,
+                    name="conv_1")(leaky_relu_02(dx), train)
+        return x + dx
+
+
+class FlowsGenerator(nn.Module):
+    """Reference FlowsGenerator (flows_generator.py:13-68)."""
+
+    nff: int = 32
+    n_blocks_F: int = 6
+    n_downsample_F: int = 3
+    norm_F: str = "spectralsyncbatch"
+    flow_multiplier: float = 20.0
+    flow_deconv: bool = False
+    nf_max: int = 1024
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        nf = self.nff
+        nd = self.n_downsample_F
+        ch = [min(self.nf_max, nf * (2 ** i)) for i in range(nd + 1)]
+
+        x = NormConv(nf, self.norm_F, 3, dtype=self.dtype,
+                     name="down_0")(x, train)
+        x = leaky_relu_02(x)
+        for i in range(nd):
+            x = NormConv(ch[i + 1], self.norm_F, 3, strides=2,
+                         dtype=self.dtype, name=f"down_{i + 1}")(x, train)
+            x = leaky_relu_02(x)
+
+        for i in range(self.n_blocks_F):
+            x = FlowResBlock(ch[nd], self.norm_F, dtype=self.dtype,
+                             name=f"res_{i}")(x, train)
+
+        for j, i in enumerate(reversed(range(nd))):
+            if self.flow_deconv:
+                x = NormConv(ch[i], self.norm_F, 3, strides=2, transpose=True,
+                             dtype=self.dtype, name=f"up_{j}")(x, train)
+            else:
+                x = upsample_nearest(x)
+                x = NormConv(ch[i], self.norm_F, 3, dtype=self.dtype,
+                             name=f"up_{j}")(x, train)
+            x = leaky_relu_02(x)
+
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
+                       name="conv_flow")(x) * self.flow_multiplier
+        weight = nn.sigmoid(
+            nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv_w")(x))
+        return weight, flow.astype(jnp.float32)

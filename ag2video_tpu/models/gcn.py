@@ -1,0 +1,91 @@
+"""Scene-graph triple convolution (reference: models/graph_models/graph.py).
+
+One message-passing layer over (subject, predicate, object) triplets:
+concat [s_vec, p_vec, o_vec] -> MLP -> split into subject/predicate/object
+messages; messages are mean-pooled per object node, counting each edge
+endpoint, with padded triplets excluded via `indicators`.
+
+TPU-native pooling: the reference runs a Python loop over the batch with
+scatter_add (graph.py:79-100); here pooling is a one-hot contraction
+(einsum over the edge axis) — a single batched MXU matmul, fully masked,
+no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.layers import MLP
+
+Dtype = Any
+
+
+class GraphTripleConv(nn.Module):
+    """Reference GraphTripleConv (graph.py:16-107).
+
+    net1: [2*obj_in + pred_in] -> hidden -> [2*hidden + pred_out], final relu.
+    net2: hidden -> hidden -> obj_out, final relu.
+    """
+
+    object_output_dim: int
+    predicate_output_dim: int
+    hidden_dim: int
+    pooling: str = "avg"
+    mlp_normalization: str = "none"
+    return_new_p_vecs: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        obj_vecs: jnp.ndarray,     # (B, O, Din)
+        pred_vecs: jnp.ndarray,    # (B, E, Dp)
+        edges: jnp.ndarray,        # (B, E, 2) int [s_idx, o_idx]
+        indicators: jnp.ndarray,   # (B, E) bool/0-1 validity
+    ):
+        B, O, _ = obj_vecs.shape
+        E = pred_vecs.shape[1]
+        H = self.hidden_dim
+        Dp_out = self.predicate_output_dim
+
+        s_idx = edges[..., 0]
+        o_idx = edges[..., 1]
+        cur_s = jnp.take_along_axis(obj_vecs, s_idx[..., None], axis=1)
+        cur_o = jnp.take_along_axis(obj_vecs, o_idx[..., None], axis=1)
+
+        t_vecs = jnp.concatenate([cur_s, pred_vecs, cur_o], axis=-1)
+        new_t = MLP([H, 2 * H + Dp_out], final_activation="relu",
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    dtype=self.dtype, name="net1")(t_vecs)
+
+        new_s = new_t[..., :H]
+        new_p = new_t[..., H:H + Dp_out]
+        new_o = new_t[..., H + Dp_out:]
+
+        ind = indicators.astype(new_s.dtype)
+        oh_s = jax.nn.one_hot(s_idx, O, dtype=new_s.dtype) * ind[..., None]
+        oh_o = jax.nn.one_hot(o_idx, O, dtype=new_s.dtype) * ind[..., None]
+
+        pooled = jnp.einsum("beo,beh->boh", oh_s, new_s,
+                            preferred_element_type=jnp.float32)
+        pooled = pooled + jnp.einsum("beo,beh->boh", oh_o, new_o,
+                                     preferred_element_type=jnp.float32)
+        pooled = pooled.astype(new_s.dtype)
+
+        if self.pooling == "avg":
+            counts = jnp.sum(oh_s, axis=1) + jnp.sum(oh_o, axis=1)  # (B, O)
+            pooled = pooled / jnp.clip(counts, min=1.0)[..., None]
+        elif self.pooling != "sum":
+            raise ValueError(f'Invalid pooling "{self.pooling}"')
+
+        new_obj_vecs = MLP([H, self.object_output_dim], final_activation="relu",
+                           kernel_init=nn.initializers.kaiming_normal(),
+                           dtype=self.dtype, name="net2")(pooled)
+
+        if not self.return_new_p_vecs:
+            new_p = pred_vecs
+        return new_obj_vecs, new_p

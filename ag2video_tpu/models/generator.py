@@ -1,0 +1,234 @@
+"""Layout -> video generator (reference: models/spade_models/networks/
+generator.py:11-93).
+
+Pipeline per generated frame t: a window of the last n_frames_G rasterized
+layouts plus the previous frame(s) feeds the flow network; the previous
+frame is warped by the predicted flow; [layout window, warped frame] is
+reduced by a 3x3 NormConv to semantic_nc channels; the SPADE generator
+produces a residual added onto the warped frame
+(`img_raw = netG(input) + img_prev_warp`, reference generator.py:86).
+
+TPU-native structure — the key throughput win of this framework:
+
+* Teacher-forced training (the reference's default: previous frames come
+  from ground truth, generator.py:68-71) makes every frame *conditionally
+  independent*, so the reference's sequential `for t in range(...)` frame
+  loop is replaced by folding (B, T-1) into one batch and running the flow
+  net + SPADE generator ONCE — T-1 frames in a single fused forward.
+* Autoregressive generation (test mode / bp_prev) is a `nn.scan` over time
+  carrying the previous frame — a compiled loop, no host round-trips.
+
+Both paths share one `_FrameStep` submodule so parameters are identical.
+
+Rasterization of all (B, T) layouts happens in a single batched einsum
+(ops/rasterize.py) instead of the reference's per-(b, t) Python loop
+(generator.py:38-54).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ag2video_tpu.models.embeddings import AttributeEmbeddings
+from ag2video_tpu.models.flow import FlowsGenerator
+from ag2video_tpu.models.layers import leaky_relu_02
+from ag2video_tpu.models.normalization import NormConv
+from ag2video_tpu.models.spade import SPADEGenerator
+from ag2video_tpu.ops.rasterize import boxes_to_layout_batch
+from ag2video_tpu.ops.warp import resample
+
+Dtype = Any
+
+# Appearance-embedding width fed to the rasterizer (reference hardcodes
+# 384 // len(attributes) per family, generator.py:16).
+APPEARANCE_DIM = 384
+
+# Photometric-confidence threshold (reference generator.py:77).
+CONF_THRESHOLD = 0.02
+
+
+def remove_dummy_objects_mask(objs: jnp.ndarray) -> jnp.ndarray:
+    """(…, O, A) attribute ids -> (…, O) bool: True for real objects.
+
+    The dummy __image__ object and padded slots both have first-attribute
+    id 0 (reference models/utils.py:95-102), so one comparison covers both.
+    """
+    return objs[..., 0] != 0
+
+
+class _FrameStep(nn.Module):
+    """One frame generation: (prev frames, layout window) -> frame.
+
+    Callable directly on a folded batch (teacher forcing) or under nn.scan
+    (autoregressive); signature is scan-compatible:
+    carry = imgs_prev (B', H, W, ncond*3), x = seg window, returns
+    (new carry, (img, flow, conf)).
+    """
+
+    semantic_nc: int
+    n_frames_G: int
+    ngf: int
+    norm_G: str
+    norm_F: str
+    num_upsampling_layers: str
+    aspect_ratio: float
+    nff: int
+    n_blocks_F: int
+    n_downsample_F: int
+    flow_multiplier: float
+    flow_deconv: bool
+    train: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, seg_win):
+        imgs_prev = carry  # (B', H, W, ncond*3)
+        train = self.train
+
+        input_flow = jnp.concatenate(
+            [seg_win, imgs_prev.astype(seg_win.dtype)], axis=-1)
+        _weight, flow = FlowsGenerator(
+            nff=self.nff, n_blocks_F=self.n_blocks_F,
+            n_downsample_F=self.n_downsample_F, norm_F=self.norm_F,
+            flow_multiplier=self.flow_multiplier,
+            flow_deconv=self.flow_deconv, dtype=self.dtype,
+            name="flows_network",
+        )(input_flow, train)
+
+        prev_last = imgs_prev[..., -3:].astype(jnp.float32)
+        img_prev_warp = resample(prev_last, flow)
+        err = jnp.sum((prev_last - img_prev_warp) ** 2, axis=-1, keepdims=True)
+        conf = (err < CONF_THRESHOLD).astype(jnp.float32)
+
+        x = jnp.concatenate(
+            [seg_win, img_prev_warp.astype(seg_win.dtype)], axis=-1)
+        x = NormConv(self.semantic_nc, self.norm_F, 3, dtype=self.dtype,
+                     name="conv_dim_in")(x, train)
+        x = leaky_relu_02(x)
+
+        img_raw = SPADEGenerator(
+            ngf=self.ngf, norm_G=self.norm_G,
+            num_upsampling_layers=self.num_upsampling_layers,
+            aspect_ratio=self.aspect_ratio, dtype=self.dtype, name="netG",
+        )(x, train).astype(jnp.float32) + img_prev_warp
+
+        ncond = self.n_frames_G - 1
+        if ncond > 1:
+            new_prev = jnp.concatenate([imgs_prev[..., 3:], img_raw], axis=-1)
+        else:
+            new_prev = img_raw
+        return new_prev, (img_raw, flow, conf)
+
+
+class Layout2VidGenerator(nn.Module):
+    """Reference Layout2VidGenerator (generator.py:11-93)."""
+
+    vocab: Dict[str, Any]
+    gconv_dim: int = 128
+    n_frames_G: int = 2
+    semantic_nc: int = 512
+    ngf: int = 64
+    norm_G: str = "spectralspadesyncbatch3x3"
+    norm_F: str = "spectralsyncbatch"
+    num_upsampling_layers: str = "normal"
+    aspect_ratio: float = 1.0
+    nff: int = 32
+    n_blocks_F: int = 6
+    n_downsample_F: int = 3
+    flow_multiplier: float = 20.0
+    flow_deconv: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs_gt: jnp.ndarray,       # (B, T, H, W, 3); first ncond frames condition
+        objs: jnp.ndarray,          # (B, O, A) attribute ids
+        obj_vecs: jnp.ndarray,      # (B, T, O, gconv_dim) appearance rollout
+        layout_boxes: jnp.ndarray,  # (B, T, O, 4) xywh
+        teacher_forced: bool = True,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B, T, H, W, _ = imgs_gt.shape
+        ncond = self.n_frames_G - 1
+        assert T > ncond, (T, ncond)
+        num_attr = len(self.vocab["attributes"])
+        cards = {a: max(t.values()) + 1
+                 for a, t in self.vocab["attributes"].items()}
+
+        # Appearance features: static attribute embedding concat per-frame
+        # GCN features (reference generator.py:36-45).
+        att = AttributeEmbeddings(
+            cards, APPEARANCE_DIM // num_attr, dtype=self.dtype,
+            name="attribute_embedding")(objs)  # (B, O, 384)
+        att_t = jnp.broadcast_to(att[:, None], (B, T) + att.shape[1:])
+        vecs = jnp.concatenate([att_t, obj_vecs.astype(att.dtype)], axis=-1)
+
+        obj_mask = remove_dummy_objects_mask(objs)  # (B, O)
+        seg = boxes_to_layout_batch(
+            vecs, layout_boxes, H, W,
+            mask=jnp.broadcast_to(obj_mask[:, None], layout_boxes.shape[:-1]),
+        )  # (B, T, H, W, Dseg)
+
+        # Sliding windows of n_frames_G layouts ending at frame t, channel
+        # stacked (reference seg_t, generator.py:66).
+        n_gen = T - ncond
+        seg_win = jnp.concatenate(
+            [seg[:, i:i + n_gen] for i in range(ncond + 1)], axis=-1
+        )  # (B, n_gen, H, W, n_frames_G * Dseg)
+
+        step_kwargs = dict(
+            semantic_nc=self.semantic_nc, n_frames_G=self.n_frames_G,
+            ngf=self.ngf, norm_G=self.norm_G, norm_F=self.norm_F,
+            num_upsampling_layers=self.num_upsampling_layers,
+            aspect_ratio=self.aspect_ratio, nff=self.nff,
+            n_blocks_F=self.n_blocks_F, n_downsample_F=self.n_downsample_F,
+            flow_multiplier=self.flow_multiplier,
+            flow_deconv=self.flow_deconv, train=train, dtype=self.dtype,
+        )
+
+        if teacher_forced:
+            # All frames at once: previous frames come from GT
+            # (reference generator.py:71), so fold time into batch.
+            prev_win = jnp.concatenate(
+                [imgs_gt[:, i:i + n_gen] for i in range(ncond)], axis=-1
+            )  # (B, n_gen, H, W, ncond*3)
+            Dw = seg_win.shape[-1]
+            fold = lambda a: a.reshape((B * n_gen,) + a.shape[2:])
+            _, (img, flow, conf) = _FrameStep(
+                **step_kwargs, name="frame_step"
+            )(fold(prev_win), fold(seg_win))
+            unfold = lambda a: a.reshape((B, n_gen) + a.shape[1:])
+            imgs_out, flows, confs = unfold(img), unfold(flow), unfold(conf)
+        else:
+            # Autoregressive: scan over time carrying generated frames.
+            prev0 = jnp.concatenate(
+                [imgs_gt[:, i] for i in range(ncond)], axis=-1
+            )  # (B, H, W, ncond*3)
+            xs = jnp.moveaxis(seg_win, 1, 0)  # (n_gen, B, H, W, ...)
+            scan_step = nn.scan(
+                _FrameStep,
+                variable_broadcast=["params", "batch_stats", "spectral"],
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )(**step_kwargs, name="frame_step")
+            _, (img, flow, conf) = scan_step(prev0, xs)
+            imgs_out = jnp.moveaxis(img, 0, 1)
+            flows = jnp.moveaxis(flow, 0, 1)
+            confs = jnp.moveaxis(conf, 0, 1)
+
+        # Assemble (B, T, ...): conditioning frames followed by generated
+        # frames; flow/conf aligned at index t-1 (reference generator.py:78-79).
+        imgs_pred = jnp.concatenate(
+            [imgs_gt[:, :ncond].astype(jnp.float32), imgs_out], axis=1)
+        zpad = jnp.zeros((B, ncond - 1, H, W, 2), jnp.float32)
+        zpad1 = jnp.zeros((B, 1, H, W, 2), jnp.float32)
+        flows_full = jnp.concatenate([zpad, flows, zpad1], axis=1)
+        cpad = jnp.zeros((B, ncond - 1, H, W, 1), jnp.float32)
+        cpad1 = jnp.zeros((B, 1, H, W, 1), jnp.float32)
+        confs_full = jnp.concatenate([cpad, confs, cpad1], axis=1)
+        return imgs_pred, flows_full, confs_full

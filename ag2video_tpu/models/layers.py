@@ -1,0 +1,214 @@
+"""Generic NN building blocks (reference: models/layers.py).
+
+MLP and string-spec CNN builders as flax modules; activation registry with
+the reference's 'leakyrelu-0.2' grammar (models/layers.py:115-129).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Activation by name incl. 'leakyrelu-<slope>' (reference layers.py:115)."""
+    if name is None:
+        return lambda x: x
+    low = name.lower()
+    if low.startswith("leakyrelu"):
+        slope = float(low.split("-")[1]) if "-" in low else 0.01
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+    table = {
+        "relu": jax.nn.relu,
+        "sigmoid": jax.nn.sigmoid,
+        "tanh": jnp.tanh,
+        "none": lambda x: x,
+    }
+    if low not in table:
+        raise ValueError(f"Invalid activation {name!r}")
+    return table[low]
+
+
+def leaky_relu_02(x):
+    """The SPADE stack's activation (reference architecture.py:67-68)."""
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+class MLP(nn.Module):
+    """build_mlp equivalent (reference: models/layers.py:6-25).
+
+    `features` lists hidden+output dims (the input dim is inferred). Hidden
+    layers get `activation`; the output layer gets `final_activation`
+    (default relu, matching the reference's surprising final ReLU on gconv
+    nets; box_net passes final_activation=None).
+    """
+
+    features: Sequence[int]
+    activation: str = "relu"
+    final_activation: Optional[str] = "relu"
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = get_activation(self.activation)
+        for i, feat in enumerate(self.features):
+            x = nn.Dense(
+                feat, use_bias=self.use_bias, kernel_init=self.kernel_init,
+                dtype=self.dtype, name=f"dense_{i}",
+            )(x)
+            if i < len(self.features) - 1:
+                x = act(x)
+        return get_activation(self.final_activation)(x)
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor x`factor` upsample, NHWC (torch nn.Upsample parity)."""
+    B = x.shape[:-3]
+    H, W, C = x.shape[-3:]
+    x = x.reshape(*B, H, 1, W, 1, C)
+    x = jnp.broadcast_to(x, (*B, H, factor, W, factor, C))
+    return x.reshape(*B, H * factor, W * factor, C)
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """F.interpolate(mode='nearest') parity resize, NHWC.
+
+    torch 'nearest' picks src = floor(dst * scale) with scale = in/out.
+    """
+    H, W, C = x.shape[-3:]
+    Ho, Wo = size
+    iy = jnp.floor(jnp.arange(Ho) * (H / Ho)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(Wo) * (W / Wo)).astype(jnp.int32)
+    return x[..., iy, :, :][..., :, ix, :]
+
+
+def avg_pool_3x3s2(x: jnp.ndarray) -> jnp.ndarray:
+    """F.avg_pool2d(k=3, s=2, p=1, count_include_pad=False) — the multiscale
+    discriminator's downsample (reference discriminator.py:270-271)."""
+    lead = x.shape[:-3]
+    H, W, C = x.shape[-3:]
+    x4 = x.reshape((-1, H, W, C))
+    summed = jax.lax.reduce_window(
+        x4, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones((1, H, W, 1), x.dtype), 0.0, jax.lax.add,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    out = summed / counts
+    return out.reshape(*lead, *out.shape[1:])
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., C) (reference layers.py:184-187)."""
+    return jnp.mean(x, axis=(-3, -2))
+
+
+class SpecCNN(nn.Module):
+    """String-spec CNN builder (reference: models/layers.py:28-112).
+
+    Supports the layer grammar used by the crop discriminators
+    ('C4-64-2,C4-128-2,C4-256-2', data/args.py:177): IX, CK-X[-S], R, UX,
+    PX, FC-Din-Dout. Returns features; output channel count is available
+    statically via `out_channels()`.
+    """
+
+    arch: str
+    normalization: str = "batch"
+    activation: str = "relu"
+    padding: str = "same"
+    pooling: str = "max"
+    dtype: Optional[Dtype] = None
+
+    @staticmethod
+    def parse(arch: str):
+        specs = arch.split(",") if isinstance(arch, str) else list(arch)
+        cur_c = 3
+        if specs and specs[0][0] == "I":
+            cur_c = int(specs[0][1:])
+            specs = specs[1:]
+        return specs, cur_c
+
+    @classmethod
+    def out_channels(cls, arch: str) -> int:
+        specs, cur_c = cls.parse(arch)
+        for s in specs:
+            if s[0] == "C":
+                vals = [int(v) for v in s[1:].split("-")]
+                cur_c = vals[1]
+            elif s.startswith("FC"):
+                cur_c = int(s.split("-")[2])
+        return cur_c
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        specs, _ = self.parse(self.arch)
+        act = get_activation(self.activation)
+        first_conv = True
+        for i, s in enumerate(specs):
+            if s[0] == "C":
+                vals = [int(v) for v in s[1:].split("-")]
+                K, next_c = vals[0], vals[1]
+                stride = vals[2] if len(vals) == 3 else 1
+                if not first_conv:
+                    x = _norm2d(self, x, self.normalization, train, f"norm_{i}")
+                    x = act(x)
+                first_conv = False
+                pad = "SAME" if self.padding == "same" else "VALID"
+                x = nn.Conv(next_c, (K, K), strides=(stride, stride),
+                            padding=pad, dtype=self.dtype, name=f"conv_{i}")(x)
+            elif s[0] == "R":
+                norm = "none" if first_conv else self.normalization
+                first_conv = False
+                x = _res_block(self, x, norm, act, train, f"res_{i}")
+            elif s[0] == "U":
+                x = upsample_nearest(x, int(s[1:]))
+            elif s[0] == "P":
+                f = int(s[1:])
+                red = jax.lax.max if self.pooling == "max" else jax.lax.add
+                init = -jnp.inf if self.pooling == "max" else 0.0
+                x = jax.lax.reduce_window(
+                    x, init, red, (1, f, f, 1), (1, f, f, 1), "VALID")
+                if self.pooling == "avg":
+                    x = x / (f * f)
+            elif s.startswith("FC"):
+                _, din, dout = s.split("-")
+                x = x.reshape(x.shape[0], -1)
+                x = nn.Dense(int(dout), dtype=self.dtype, name=f"fc_{i}")(x)
+                if i + 1 < len(specs):
+                    x = act(x)
+            else:
+                raise ValueError(f"Invalid layer spec {s!r}")
+        return x
+
+
+def _norm2d(mod, x, kind, train, name):
+    if kind == "none":
+        return x
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=not train, name=name,
+                            axis_name=None)(x)
+    if kind == "instance":
+        return nn.GroupNorm(num_groups=x.shape[-1], use_scale=False,
+                            use_bias=False, name=name)(x)
+    raise ValueError(f"Unrecognized normalization {kind!r}")
+
+
+def _res_block(mod, x, norm, act, train, name):
+    y = _norm2d(mod, x, norm, train, f"{name}_n0")
+    y = act(y)
+    y = nn.Conv(x.shape[-1], (3, 3), padding="SAME", dtype=mod.dtype,
+                name=f"{name}_c0")(y)
+    y = _norm2d(mod, y, norm, train, f"{name}_n1")
+    y = act(y)
+    y = nn.Conv(x.shape[-1], (3, 3), padding="SAME", dtype=mod.dtype,
+                name=f"{name}_c1")(y)
+    return x + y

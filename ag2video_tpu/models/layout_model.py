@@ -1,0 +1,218 @@
+"""Graph -> layout model: autoregressive per-timestep GCN box rollout.
+
+Reference: models/graph_models/model.py:23-174 (Acts2LayoutModel). Per
+timestep t: embed attributes, concat the previous boxes, reduce with
+obj_vecs_net, run `gconv_num_layers` GraphTripleConv layers over the union
+of spatial-relation edges and time-gated action edges, and predict a box
+*delta* added to the previous box. The action "clock" maps clip time into
+per-action progress r_t and masks actions outside [0, 1] to __padding__
+(model.py:109-122); (x_end, y_end, r_t) overwrite the last 3 dims of each
+action embedding (model.py:144-146).
+
+TPU-native structure: all time-dependent inputs (gated action ids, action
+embeddings, edge lists, indicators) are computed for every t up-front with
+pure broadcasting, then a single `nn.scan` rolls the boxes forward —
+replacing the reference's Python `for t in range(1, timesteps)` loop with a
+compiled loop whose body is shared-weight and fully batched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ag2video_tpu.models.embeddings import AttributeEmbeddings
+from ag2video_tpu.models.gcn import GraphTripleConv
+from ag2video_tpu.models.layers import MLP
+
+Dtype = Any
+
+
+def action_clock(
+    actions: jnp.ndarray, timesteps: int, pad_action_idx: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame action progress and time-gated action ids.
+
+    actions: (B, A, 7) float rows [s, a, o, f1, f2, x_end, y_end].
+    Returns (relative_timesteps (B, F, A), gated_action_ids (B, F, A) int).
+    Reference: model.py:109-122.
+    """
+    B, A, _ = actions.shape
+    a_id = actions[..., 1]
+    f1 = actions[..., 3].astype(jnp.float32)
+    f2 = actions[..., 4].astype(jnp.float32)
+    t = jnp.arange(timesteps, dtype=jnp.float32)[None, :, None]  # (1, F, 1)
+    rel = (t / timesteps) * (f2 - f1 + 1e-6)[:, None, :] + f1[:, None, :]
+    included = (rel >= 0) & (rel <= 1)
+    gated = jnp.where(included, a_id[:, None, :], pad_action_idx)
+    return rel, gated.astype(jnp.int32)
+
+
+class _LayoutStep(nn.Module):
+    """One rollout step; scanned over time with broadcast params."""
+
+    embedding_dim: int
+    gconv_dim: int
+    gconv_hidden_dim: int
+    gconv_num_layers: int
+    gconv_pooling: str
+    obj_input_dim: int
+    mlp_normalization: str
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        boxes_prev, obj_embed = carry
+        pred_vecs_t, edges_t, ind_t = xs
+
+        # Reduce [embedding, prev boxes] (reference model.py:63-69, 135-136):
+        # Linear(no bias) + relu, twice.
+        x = jnp.concatenate([obj_embed, boxes_prev.astype(obj_embed.dtype)],
+                            axis=-1)
+        x = nn.Dense(self.obj_input_dim, use_bias=False, dtype=self.dtype,
+                     name="obj_vecs_net_0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.obj_input_dim, use_bias=False, dtype=self.dtype,
+                     name="obj_vecs_net_1")(x)
+        obj_vecs = nn.relu(x)
+
+        pred_vecs = pred_vecs_t
+        for i in range(self.gconv_num_layers):
+            obj_vecs, pred_vecs = GraphTripleConv(
+                object_output_dim=self.gconv_dim,
+                predicate_output_dim=self.gconv_dim,
+                hidden_dim=self.gconv_hidden_dim,
+                pooling=self.gconv_pooling,
+                mlp_normalization=self.mlp_normalization,
+                dtype=self.dtype,
+                name=f"gconv_{i}",
+            )(obj_vecs, pred_vecs, edges_t, ind_t)
+
+        delta = MLP([self.gconv_hidden_dim, 4], final_activation=None,
+                    dtype=self.dtype, name="box_net")(obj_vecs)
+        boxes_new = boxes_prev + delta.astype(jnp.float32)
+        return (boxes_new, obj_embed), (obj_vecs, boxes_new)
+
+
+class Acts2LayoutModel(nn.Module):
+    """Reference Acts2LayoutModel (model.py:23-174), registry name 'graph'."""
+
+    vocab: Dict[str, Any]
+    embedding_dim: int = 128
+    gconv_dim: int = 128
+    gconv_hidden_dim: int = 512
+    gconv_num_layers: int = 3
+    gconv_pooling: str = "avg"
+    mlp_normalization: str = "none"
+    only_temporal: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        objs: jnp.ndarray,       # (B, O, A) int attribute ids
+        triplets: jnp.ndarray,   # (B, F, T, 3) int [s, p, o]
+        actions: jnp.ndarray,    # (B, A_act, 7) float
+        boxes_gt: jnp.ndarray,   # (B, >=1, O, 4); [:, 0] seeds the rollout
+        test_mode: bool = False,
+    ):
+        del test_mode  # parity: unused upstream too (model.py:99)
+        vocab = self.vocab
+        B, F = triplets.shape[0], triplets.shape[1]
+        O = objs.shape[1]
+        pad_pred = vocab["pred_name_to_idx"]["__padding__"]
+        pad_act = vocab["action_name_to_idx"]["__padding__"]
+        num_attr = len(vocab["attributes"])
+        obj_input_dim = num_attr * self.embedding_dim
+        cards = {a: max(t.values()) + 1 for a, t in vocab["attributes"].items()}
+
+        # --- static per-rollout features, vectorized over all timesteps ---
+        obj_embed = AttributeEmbeddings(
+            cards, self.embedding_dim, dtype=self.dtype,
+            name="attribute_embedding")(objs)  # (B, O, num_attr * D)
+
+        rel_t, gated_acts = action_clock(actions, F, pad_act)  # (B,F,A)
+        s_a = jnp.broadcast_to(actions[:, None, :, 0], gated_acts.shape)
+        o_a = jnp.broadcast_to(actions[:, None, :, 2], gated_acts.shape)
+        x_end = jnp.broadcast_to(actions[:, None, :, 5], gated_acts.shape)
+        y_end = jnp.broadcast_to(actions[:, None, :, 6], gated_acts.shape)
+
+        num_acts = len(vocab["action_idx_to_name"])
+        acts_vecs = nn.Embed(num_acts, self.embedding_dim, dtype=self.dtype,
+                             name="acts_embeddings")(gated_acts)  # (B,F,A,D)
+        # Write (x_end, y_end, r_t) into the last three dims (model.py:144-146).
+        tail = jnp.stack([x_end, y_end, rel_t], axis=-1).astype(acts_vecs.dtype)
+        acts_vecs = jnp.concatenate([acts_vecs[..., :-3], tail], axis=-1)
+
+        action_edges = jnp.stack([s_a, o_a], axis=-1).astype(jnp.int32)
+        action_ind = gated_acts != pad_act
+
+        if not self.only_temporal:
+            s_p = triplets[..., 0]
+            p_p = triplets[..., 1]
+            o_p = triplets[..., 2]
+            num_preds = len(vocab["pred_idx_to_name"])
+            spatial_pred_vecs = nn.Embed(
+                num_preds, self.embedding_dim, dtype=self.dtype,
+                name="pred_embeddings")(p_p)  # (B, F, T, D)
+            spatial_edges = jnp.stack([s_p, o_p], axis=-1).astype(jnp.int32)
+            spatial_ind = p_p != pad_pred
+
+            edges = jnp.concatenate([spatial_edges, action_edges], axis=2)
+            pred_vecs = jnp.concatenate([spatial_pred_vecs, acts_vecs], axis=2)
+            indicators = jnp.concatenate([spatial_ind, action_ind], axis=2)
+        else:
+            edges, pred_vecs, indicators = action_edges, acts_vecs, action_ind
+
+        # --- the rollout: scan t = 1 .. F-1 (reference model.py:126-169) ---
+        seed_boxes = boxes_gt[:, 0].astype(jnp.float32)  # (B, O, 4)
+
+        # Time-major xs for steps 1..F-1.
+        xs = (
+            jnp.moveaxis(pred_vecs[:, 1:], 1, 0),   # (F-1, B, E, D)
+            jnp.moveaxis(edges[:, 1:], 1, 0),       # (F-1, B, E, 2)
+            jnp.moveaxis(indicators[:, 1:], 1, 0),  # (F-1, B, E)
+        )
+
+        step = nn.scan(
+            _LayoutStep,
+            variable_broadcast=["params"],
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(
+            embedding_dim=self.embedding_dim,
+            gconv_dim=self.gconv_dim,
+            gconv_hidden_dim=self.gconv_hidden_dim,
+            gconv_num_layers=self.gconv_num_layers,
+            gconv_pooling=self.gconv_pooling,
+            obj_input_dim=obj_input_dim,
+            mlp_normalization=self.mlp_normalization,
+            dtype=self.dtype,
+            name="step",
+        )
+        (_, _), (obj_vecs_seq, boxes_seq) = step((seed_boxes, obj_embed), xs)
+
+        # Assemble outputs (reference model.py:171-174): boxes (B, F, O, 4)
+        # with the seed first; temporal obj vecs with a zero frame first.
+        boxes_pred = jnp.concatenate(
+            [seed_boxes[:, None], jnp.moveaxis(boxes_seq, 0, 1)], axis=1)
+        zeros0 = jnp.zeros((B, 1, O, self.gconv_dim), obj_vecs_seq.dtype)
+        temporal_obj_vecs = jnp.concatenate(
+            [zeros0, jnp.moveaxis(obj_vecs_seq, 0, 1)], axis=1)
+
+        temporal_triplets = jnp.stack(
+            [s_a.astype(jnp.int32), gated_acts, o_a.astype(jnp.int32)], axis=-1)
+        actions_data = {
+            "triplets": triplets,
+            "temporal_triplets": temporal_triplets,
+            "relative_timesteps": rel_t,
+            "locs": jnp.stack([x_end, y_end], axis=-1),
+        }
+        return temporal_obj_vecs, boxes_pred, actions_data
+
+
+# Registry (reference model.py:178-180).
+LAYOUT_MODELS = {"graph": Acts2LayoutModel}

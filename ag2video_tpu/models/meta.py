@@ -1,0 +1,113 @@
+"""The composed end-to-end model (reference: models/meta_models.py:9-57).
+
+AG2VideoModel = two Acts2LayoutModel instances — `acts_to_boxes` for motion
+and `acts_to_objs` for appearance (decoupled by default,
+meta_models.py:19-22) — feeding Layout2VidGenerator. Predicted boxes are
+detached before generation (meta_models.py:53), keeping the reference's
+gradient-isolation contract between the graph loss and the GAN losses.
+
+The reference wraps each submodel in DataParallelWithCallback; here the
+whole forward is one module executed under jit over a Mesh — data
+parallelism comes from input sharding, not wrappers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.models.generator import Layout2VidGenerator
+from ag2video_tpu.models.layout_model import Acts2LayoutModel
+
+Dtype = Any
+
+
+class AG2VideoModel(nn.Module):
+    """forward(imgs, objs, triplets, actions, boxes_gt, ...) ->
+    dict(imgs_pred, boxes_pred, flows_pred, conf_pred, actions_data)."""
+
+    config: Config
+    vocab: Dict[str, Any]
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+        kw = dict(
+            vocab=self.vocab,
+            embedding_dim=cfg.embedding_dim,
+            gconv_dim=cfg.gconv_dim,
+            gconv_hidden_dim=cfg.gconv_hidden_dim,
+            gconv_num_layers=cfg.gconv_num_layers,
+            gconv_pooling=cfg.gconv_pooling,
+            mlp_normalization=cfg.mlp_normalization,
+            only_temporal=cfg.only_temporal,
+            dtype=dtype,
+        )
+        self.acts_to_boxes = Acts2LayoutModel(**kw)
+        if not cfg.coupled_motion_apperance:
+            self.acts_to_objs = Acts2LayoutModel(**kw)
+        self.layout_to_video = Layout2VidGenerator(
+            vocab=self.vocab,
+            gconv_dim=cfg.gconv_dim,
+            n_frames_G=cfg.n_frames_G,
+            semantic_nc=cfg.semantic_nc,
+            ngf=cfg.ngf,
+            norm_G=cfg.norm_G,
+            norm_F=cfg.norm_F,
+            num_upsampling_layers=cfg.num_upsampling_layers,
+            aspect_ratio=cfg.aspect_ratio,
+            nff=cfg.nff,
+            n_blocks_F=cfg.n_blocks_F,
+            n_downsample_F=cfg.n_downsample_F,
+            flow_multiplier=cfg.flow_multiplier,
+            flow_deconv=cfg.flow_deconv,
+            dtype=dtype,
+        )
+
+    def __call__(
+        self,
+        imgs: jnp.ndarray,      # (B, T, H, W, 3)
+        objs: jnp.ndarray,      # (B, O, A)
+        triplets: jnp.ndarray,  # (B, T, E, 3)
+        actions: jnp.ndarray,   # (B, A_act, 7)
+        boxes_gt: jnp.ndarray,  # (B, T, O, 4)
+        test_mode: bool = False,
+        use_gt: bool = False,
+        graph_only: bool = False,
+        train: bool = True,
+    ) -> Dict[str, Any]:
+        obj_vecs, boxes_pred, actions_data = self.acts_to_boxes(
+            objs, triplets, actions, boxes_gt, test_mode=test_mode)
+
+        if graph_only:
+            return {"boxes_pred": boxes_pred, "actions_data": actions_data}
+
+        if not self.config.coupled_motion_apperance:
+            obj_vecs, _, actions_data = self.acts_to_objs(
+                objs, triplets, actions, boxes_gt, test_mode=test_mode)
+
+        if use_gt:
+            gen_boxes = boxes_gt
+        else:
+            # detach (reference meta_models.py:53): the GAN does not push
+            # gradients into the layout model.
+            gen_boxes = jax.lax.stop_gradient(boxes_pred)
+
+        # Teacher forcing in training unless bp_prev; autoregressive at test
+        # (reference generator.py:68-71).
+        teacher_forced = (not test_mode) and (not self.config.bp_prev)
+        imgs_pred, flows_pred, conf_pred = self.layout_to_video(
+            imgs, objs, obj_vecs, gen_boxes,
+            teacher_forced=teacher_forced, train=train)
+
+        return {
+            "imgs_pred": imgs_pred,
+            "boxes_pred": boxes_pred,
+            "flows_pred": flows_pred,
+            "conf_pred": conf_pred,
+            "actions_data": actions_data,
+        }

@@ -1,0 +1,193 @@
+"""Normalization layers: SPADE, param-free norms, spectral-norm convs.
+
+Reference: models/spade_models/networks/normalization.py. The norm-selection
+string grammar is preserved ('spectralspadesyncbatch3x3' etc.,
+data/args.py:103-110).
+
+The reference's SynchronizedBatchNorm — an entire threaded master/slave
+reduce-broadcast subsystem (sync_batchnorm/{batchnorm,comm,replicate}.py,
+~500 LoC) — needs no equivalent here: batch statistics computed with plain
+`jnp.mean` over the batch axis inside a jit-compiled program over a
+`jax.sharding.Mesh` are *global* statistics; XLA inserts the all-reduce over
+ICI automatically. 'syncbatch' therefore maps to ordinary BatchNorm.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ag2video_tpu.models.layers import leaky_relu_02, resize_nearest
+
+Dtype = Any
+
+
+def parse_spade_norm(config_text: str):
+    """'spade(norm)(k)x(k)' -> (param_free_norm_type, kernel_size)
+    (reference normalization.py:70-73)."""
+    m = re.search(r"spade(\D+)(\d)x\d", config_text)
+    if not m:
+        raise ValueError(f"Bad SPADE config {config_text!r}")
+    return m.group(1), int(m.group(2))
+
+
+class ParamFreeNorm(nn.Module):
+    """Affine-free normalization: 'batch'/'syncbatch' (batch stats + running
+    averages), 'instance', or 'group' (communication-free alternative)."""
+
+    kind: str
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.kind in ("batch", "syncbatch", "sync_batch"):
+            # Global-batch statistics; 'sync' is free under jit-over-Mesh.
+            return nn.BatchNorm(
+                use_running_average=not train, use_scale=False,
+                use_bias=False, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(x)
+        if self.kind == "instance":
+            return nn.GroupNorm(
+                num_groups=x.shape[-1], use_scale=False, use_bias=False,
+                epsilon=1e-5, dtype=self.dtype, name="in",
+            )(x)
+        if self.kind == "group":
+            g = min(32, x.shape[-1])
+            return nn.GroupNorm(num_groups=g, use_scale=False, use_bias=False,
+                                dtype=self.dtype, name="gn")(x)
+        raise ValueError(f"Unrecognized param-free norm {self.kind!r}")
+
+
+class SPADE(nn.Module):
+    """Spatially-adaptive denormalization (reference normalization.py:66-110).
+
+    normalized = param_free_norm(x); segmap resized (nearest) to x's spatial
+    size -> shared conv+relu -> gamma, beta convs; out = normalized *
+    (1 + gamma) + beta. nhidden=128 (hardcoded upstream too).
+    """
+
+    config_text: str
+    dtype: Optional[Dtype] = None
+    nhidden: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, segmap: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        norm_type, ks = parse_spade_norm(self.config_text)
+        normalized = ParamFreeNorm(norm_type, name="param_free_norm")(x, train)
+
+        seg = resize_nearest(segmap, x.shape[-3:-1])
+        actv = nn.Conv(self.nhidden, (ks, ks), padding="SAME",
+                       dtype=self.dtype, name="mlp_shared")(seg)
+        actv = nn.relu(actv)
+        gamma = nn.Conv(x.shape[-1], (ks, ks), padding="SAME",
+                        dtype=self.dtype, name="mlp_gamma")(actv)
+        beta = nn.Conv(x.shape[-1], (ks, ks), padding="SAME",
+                       dtype=self.dtype, name="mlp_beta")(actv)
+        return normalized * (1 + gamma) + beta
+
+
+class SNConv(nn.Module):
+    """Conv2d with optional spectral norm (power iteration state in the
+    'spectral' collection). Replaces torch's spectral_norm wrapper
+    (reference architecture.py:34-39, normalization.py:26-28)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    spectral: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        conv = nn.Conv(
+            self.features, (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides), padding=self.padding,
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )
+        if not self.spectral:
+            return conv(x)
+        return nn.SpectralNorm(conv, collection_name="spectral")(
+            x, update_stats=train
+        )
+
+
+class SNDense(nn.Module):
+    """Dense with optional spectral norm."""
+
+    features: int
+    use_bias: bool = True
+    spectral: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        dense = nn.Dense(self.features, use_bias=self.use_bias,
+                         dtype=self.dtype, name="dense")
+        if not self.spectral:
+            return dense(x)
+        return nn.SpectralNorm(dense, collection_name="spectral")(
+            x, update_stats=train
+        )
+
+
+class NormConv(nn.Module):
+    """get_nonspade_norm_layer equivalent (reference normalization.py:16-50):
+    conv (spectral-normalized if the norm string starts with 'spectral')
+    followed by a subnorm ('batch'/'syncbatch'/'instance'/'none'). The
+    reference drops the conv bias when a subnorm follows."""
+
+    features: int
+    norm: str  # e.g. 'spectralinstance', 'spectralsyncbatch', 'spectral'
+    kernel_size: int = 3
+    strides: int = 1
+    padding: Any = "SAME"
+    transpose: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        norm = self.norm
+        spectral = norm.startswith("spectral")
+        subnorm = norm[len("spectral"):] if spectral else norm
+        has_subnorm = subnorm not in ("", "none")
+
+        if self.transpose:
+            conv = nn.ConvTranspose(
+                self.features, (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides), padding=self.padding,
+                use_bias=not has_subnorm, dtype=self.dtype, name="conv",
+            )
+        else:
+            conv = nn.Conv(
+                self.features, (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides), padding=self.padding,
+                use_bias=not has_subnorm, dtype=self.dtype, name="conv",
+            )
+        if spectral:
+            x = nn.SpectralNorm(conv, collection_name="spectral")(
+                x, update_stats=train)
+        else:
+            x = conv(x)
+
+        if not has_subnorm:
+            return x
+        if subnorm in ("batch", "sync_batch", "syncbatch"):
+            return nn.BatchNorm(use_running_average=not train,
+                                dtype=self.dtype, name="norm")(x)
+        if subnorm == "instance":
+            return nn.GroupNorm(num_groups=x.shape[-1], use_scale=False,
+                                use_bias=False, dtype=self.dtype,
+                                name="norm")(x)
+        raise ValueError(f"normalization layer {subnorm!r} is not recognized")
+
+
+def actvn(x):
+    """The SPADE stack's leaky-relu(0.2) (reference flows_generator.py:135)."""
+    return leaky_relu_02(x)

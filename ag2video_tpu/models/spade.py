@@ -1,0 +1,107 @@
+"""SPADE generator stack (reference: models/spade_models/networks/
+{spade_generator.py, architecture.py}).
+
+NHWC, bf16-capable. Spectral norm applied per the 'spectral' prefix of
+norm_G; the param-free norm inside SPADE follows the parsed config string
+('syncbatch' = global-batch BN, free under jit-over-Mesh; see
+normalization.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ag2video_tpu.models.layers import leaky_relu_02, resize_nearest, upsample_nearest
+from ag2video_tpu.models.normalization import SPADE, SNConv
+
+Dtype = Any
+
+
+class SPADEResnetBlock(nn.Module):
+    """Reference SPADEResnetBlock (architecture.py:21-68): norm -> actvn ->
+    conv twice, plus a norm -> 1x1-conv learned shortcut when fin != fout
+    (no activation on the shortcut)."""
+
+    fout: int
+    norm_G: str = "spectralspadesyncbatch3x3"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, seg: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        fin = x.shape[-1]
+        fmiddle = min(fin, self.fout)
+        spectral = "spectral" in self.norm_G
+        spade_cfg = self.norm_G.replace("spectral", "")
+
+        if fin != self.fout:
+            x_s = SPADE(spade_cfg, dtype=self.dtype, name="norm_s")(x, seg, train)
+            x_s = SNConv(self.fout, 1, use_bias=False, spectral=spectral,
+                         dtype=self.dtype, name="conv_s")(x_s, train)
+        else:
+            x_s = x
+
+        dx = SPADE(spade_cfg, dtype=self.dtype, name="norm_0")(x, seg, train)
+        dx = SNConv(fmiddle, 3, spectral=spectral, dtype=self.dtype,
+                    name="conv_0")(leaky_relu_02(dx), train)
+        dx = SPADE(spade_cfg, dtype=self.dtype, name="norm_1")(dx, seg, train)
+        dx = SNConv(self.fout, 3, spectral=spectral, dtype=self.dtype,
+                    name="conv_1")(leaky_relu_02(dx), train)
+        return x_s + dx
+
+
+class SPADEGenerator(nn.Module):
+    """Reference SPADEGenerator (spade_generator.py:8-81): downsample the
+    layout to the latent size, 3x3 conv to 16*ngf, then SPADE resblocks with
+    nearest 2x upsampling; leaky-relu + 3x3 conv + tanh head."""
+
+    ngf: int = 64
+    norm_G: str = "spectralspadesyncbatch3x3"
+    num_upsampling_layers: str = "normal"  # normal | more | most
+    aspect_ratio: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    def latent_size(self, out_hw: Tuple[int, int]) -> Tuple[int, int]:
+        n_up = {"normal": 5, "more": 6, "most": 7}[self.num_upsampling_layers]
+        sw = out_hw[1] // (2 ** n_up)
+        sh = round(sw / self.aspect_ratio)
+        return sh, sw
+
+    @nn.compact
+    def __call__(self, layout: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        nf = self.ngf
+        H, W = layout.shape[-3], layout.shape[-2]
+        sh, sw = self.latent_size((H, W))
+
+        x = resize_nearest(layout, (sh, sw))
+        x = nn.Conv(16 * nf, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="fc")(x)
+
+        def block(x, fout, name):
+            return SPADEResnetBlock(fout, self.norm_G, dtype=self.dtype,
+                                    name=name)(x, layout, train)
+
+        x = block(x, 16 * nf, "head_0")
+        x = upsample_nearest(x)
+        x = block(x, 16 * nf, "G_middle_0")
+        if self.num_upsampling_layers in ("more", "most"):
+            x = upsample_nearest(x)
+        x = block(x, 16 * nf, "G_middle_1")
+        x = upsample_nearest(x)
+        x = block(x, 8 * nf, "up_0")
+        x = upsample_nearest(x)
+        x = block(x, 4 * nf, "up_1")
+        x = upsample_nearest(x)
+        x = block(x, 2 * nf, "up_2")
+        x = upsample_nearest(x)
+        x = block(x, 1 * nf, "up_3")
+        if self.num_upsampling_layers == "most":
+            x = upsample_nearest(x)
+            x = block(x, nf // 2, "up_4")
+
+        x = nn.Conv(3, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="conv_img")(leaky_relu_02(x))
+        return jnp.tanh(x)

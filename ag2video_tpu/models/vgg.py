@@ -1,0 +1,89 @@
+"""VGG19 feature extractor for the perceptual loss.
+
+Reference: models/spade_models/networks/architecture.py:93-123 — torchvision
+VGG19 sliced at relu1_1/relu2_1/relu3_1/relu4_1/relu5_1. Reimplemented in
+flax (NHWC); pretrained weights are loaded from an .npz asset when present
+(`scripts/port_vgg_weights.py` converts a torch state dict), otherwise the
+loss still functions as a random-projection feature loss (documented
+divergence: torchvision pretrained weights are not downloadable in a
+zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+# Channels per conv layer, 'M' = 2x2 max pool (VGG19 'E' config).
+VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+             512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+# Slice boundaries: features after the relu following conv index k
+# (0-based conv counter) — relu1_1, relu2_1, relu3_1, relu4_1, relu5_1.
+SLICE_AFTER_CONV = {0, 2, 4, 8, 12}
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "vgg19.npz",
+)
+
+
+class VGG19Features(nn.Module):
+    """Returns [relu1_1, relu2_1, relu3_1, relu4_1, relu5_1]."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        outs = []
+        conv_i = 0
+        for c in VGG19_CFG:
+            if c == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_{conv_i}")(x)
+            x = nn.relu(x)
+            if conv_i in SLICE_AFTER_CONV:
+                outs.append(x)
+            conv_i += 1
+            if len(outs) == 5 and conv_i > max(SLICE_AFTER_CONV):
+                break
+        return outs
+
+
+def load_vgg19_params(path: str = DEFAULT_WEIGHTS):
+    """Load ported VGG19 conv weights from .npz (HWIO kernels), or None.
+
+    The .npz stores conv_{i}_kernel / conv_{i}_bias as produced by
+    scripts/port_vgg_weights.py.
+    """
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    params = {}
+    i = 0
+    while f"conv_{i}_kernel" in data:
+        params[f"conv_{i}"] = {
+            "kernel": jnp.asarray(data[f"conv_{i}_kernel"]),
+            "bias": jnp.asarray(data[f"conv_{i}_bias"]),
+        }
+        i += 1
+    return {"params": params} if params else None
+
+
+def init_vgg19(rng: jax.Array, image_hw=(64, 64), weights_path: str = DEFAULT_WEIGHTS):
+    """Initialize (or load) VGG19 variables for the perceptual loss."""
+    model = VGG19Features()
+    loaded = load_vgg19_params(weights_path)
+    if loaded is not None:
+        return model, loaded
+    variables = model.init(rng, jnp.zeros((1, *image_hw, 3), jnp.float32))
+    return model, variables

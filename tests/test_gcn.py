@@ -1,0 +1,99 @@
+"""GraphTripleConv: einsum pooling vs a direct oracle of the reference's
+per-batch scatter_add + count-normalize loop (graph.py:79-100)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.gcn import GraphTripleConv
+
+
+def numpy_reference_gcn(params, obj_vecs, pred_vecs, edges, indicators,
+                        hidden, dp_out, pooling="avg"):
+    """Re-executes the reference algorithm (graph.py:41-107) in numpy using
+    the flax module's weights."""
+    def mlp(p, x):
+        ks = sorted(p.keys())
+        for i, k in enumerate(ks):
+            x = x @ np.asarray(p[k]["kernel"]) + np.asarray(p[k]["bias"])
+            x = np.maximum(x, 0)  # hidden relu + reference's final relu
+        return x
+
+    B, O, _ = obj_vecs.shape
+    outs = []
+    for b in range(B):
+        s_idx, o_idx = edges[b, :, 0], edges[b, :, 1]
+        cur_s = obj_vecs[b][s_idx]
+        cur_o = obj_vecs[b][o_idx]
+        t_vecs = np.concatenate([cur_s, pred_vecs[b], cur_o], axis=-1)
+        new_t = mlp(params["net1"], t_vecs)
+        new_s = new_t[:, :hidden]
+        new_o = new_t[:, hidden + dp_out:]
+
+        keep = indicators[b].astype(bool)
+        pooled = np.zeros((O, hidden), np.float32)
+        counts = np.zeros(O, np.float32)
+        for e in np.nonzero(keep)[0]:
+            pooled[s_idx[e]] += new_s[e]
+            pooled[o_idx[e]] += new_o[e]
+            counts[s_idx[e]] += 1
+            counts[o_idx[e]] += 1
+        if pooling == "avg":
+            nz = counts > 0
+            pooled[nz] = pooled[nz] / counts[nz, None]
+        outs.append(mlp(params["net2"], pooled))
+    return np.stack(outs)
+
+
+def test_gcn_matches_scatter_oracle(rng):
+    B, O, E, Din, Dp, H, Dout = 2, 5, 7, 6, 4, 8, 6
+    obj_vecs = rng.randn(B, O, Din).astype(np.float32)
+    pred_vecs = rng.randn(B, E, Dp).astype(np.float32)
+    edges = rng.randint(0, O, (B, E, 2))
+    indicators = rng.rand(B, E) > 0.3
+
+    m = GraphTripleConv(object_output_dim=Dout, predicate_output_dim=Dp,
+                        hidden_dim=H)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(obj_vecs),
+                   jnp.asarray(pred_vecs), jnp.asarray(edges),
+                   jnp.asarray(indicators))
+    new_obj, new_p = m.apply(vars_, jnp.asarray(obj_vecs),
+                             jnp.asarray(pred_vecs), jnp.asarray(edges),
+                             jnp.asarray(indicators))
+
+    ref = numpy_reference_gcn(
+        jax.tree.map(np.asarray, vars_["params"]),
+        obj_vecs, pred_vecs, edges, indicators, H, Dp)
+    np.testing.assert_allclose(np.asarray(new_obj), ref, rtol=1e-4, atol=1e-5)
+    assert new_p.shape == (B, E, Dp)
+
+
+def test_gcn_all_masked_gives_bias_only(rng):
+    """Fully padded graph -> pooled features are zero -> net2(0) is the same
+    for every object (pure function of biases)."""
+    B, O, E = 1, 4, 5
+    m = GraphTripleConv(object_output_dim=6, predicate_output_dim=4,
+                        hidden_dim=8)
+    obj_vecs = jnp.asarray(rng.randn(B, O, 6).astype(np.float32))
+    pred_vecs = jnp.asarray(rng.randn(B, E, 4).astype(np.float32))
+    edges = jnp.asarray(rng.randint(0, O, (B, E, 2)))
+    ind = jnp.zeros((B, E), bool)
+    vars_ = m.init(jax.random.PRNGKey(0), obj_vecs, pred_vecs, edges, ind)
+    new_obj, _ = m.apply(vars_, obj_vecs, pred_vecs, edges, ind)
+    out = np.asarray(new_obj)[0]
+    np.testing.assert_allclose(out, np.broadcast_to(out[0], out.shape),
+                               rtol=1e-6)
+
+
+def test_gcn_sum_pooling(rng):
+    B, O, E = 1, 3, 4
+    m = GraphTripleConv(object_output_dim=5, predicate_output_dim=4,
+                        hidden_dim=6, pooling="sum")
+    obj_vecs = jnp.asarray(rng.randn(B, O, 5).astype(np.float32))
+    pred_vecs = jnp.asarray(rng.randn(B, E, 4).astype(np.float32))
+    edges = jnp.asarray(rng.randint(0, O, (B, E, 2)))
+    ind = jnp.ones((B, E), bool)
+    vars_ = m.init(jax.random.PRNGKey(0), obj_vecs, pred_vecs, edges, ind)
+    new_obj, _ = m.apply(vars_, obj_vecs, pred_vecs, edges, ind)
+    assert np.all(np.isfinite(np.asarray(new_obj)))

@@ -1,0 +1,90 @@
+"""Loss-stack parity: smooth-L1 and hinge/ls/bce GAN losses vs torch."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.losses.gan import (
+    bce_with_logits,
+    gan_loss,
+    get_gan_losses,
+    multiscale_gan_loss,
+)
+from ag2video_tpu.losses.loss_model import compute_graph_loss, smooth_l1
+
+
+def test_smooth_l1_matches_torch(rng):
+    x = rng.randn(50).astype(np.float32) * 3
+    y = rng.randn(50).astype(np.float32)
+    ours = np.asarray(smooth_l1(jnp.asarray(x), jnp.asarray(y)))
+    ref = F.smooth_l1_loss(torch.from_numpy(x), torch.from_numpy(y),
+                           reduction="none").numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_hinge_losses_match_reference(rng):
+    x = rng.randn(4, 7, 7, 1).astype(np.float32)
+    tx = torch.from_numpy(x)
+    # reference loss.py:65-76
+    ref_d_real = -torch.mean(torch.min(tx - 1, torch.zeros_like(tx))).item()
+    ref_d_fake = -torch.mean(torch.min(-tx - 1, torch.zeros_like(tx))).item()
+    ref_g = -torch.mean(tx).item()
+
+    jx = jnp.asarray(x)
+    assert np.isclose(float(gan_loss(jx, True, True, "hinge")), ref_d_real)
+    assert np.isclose(float(gan_loss(jx, False, True, "hinge")), ref_d_fake)
+    assert np.isclose(float(gan_loss(jx, True, False, "hinge")), ref_g)
+
+
+def test_bce_matches_torch(rng):
+    x = rng.randn(30).astype(np.float32) * 4
+    t = (rng.rand(30) > 0.5).astype(np.float32)
+    ours = float(bce_with_logits(jnp.asarray(x), jnp.asarray(t)))
+    ref = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(x), torch.from_numpy(t)).item()
+    assert np.isclose(ours, ref, rtol=1e-5)
+
+
+def test_multiscale_averages_scales(rng):
+    a = jnp.asarray(rng.randn(2, 5, 5, 1).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 3, 3, 1).astype(np.float32))
+    preds = [[jnp.zeros(1), a], [jnp.zeros(1), b]]
+    got = float(multiscale_gan_loss(preds, True, False, "hinge"))
+    want = (float(gan_loss(a, True, False)) + float(gan_loss(b, True, False))) / 2
+    assert np.isclose(got, want)
+
+
+def test_functional_pairs(rng):
+    sf = jnp.asarray(rng.randn(10).astype(np.float32))
+    sr = jnp.asarray(rng.randn(10).astype(np.float32))
+    for name in ("gan", "wgan", "lsgan"):
+        g, d = get_gan_losses(name)
+        assert np.isfinite(float(g(sf)))
+        assert np.isfinite(float(d(sr, sf)))
+
+
+def test_graph_loss_masks_padding(rng):
+    cfg = Config()
+    B, T, O = 2, 3, 4
+    boxes = jnp.asarray(rng.uniform(0, 1, (B, T, O, 4)).astype(np.float32))
+    pred = jnp.asarray(rng.uniform(0, 1, (B, T, O, 4)).astype(np.float32))
+    objs = np.ones((B, O, 2), np.int64)
+    objs[:, -1] = 0  # padded/dummy object
+    batch = {"boxes": boxes, "objs": jnp.asarray(objs)}
+
+    base = compute_graph_loss(cfg, batch, pred)["total_loss"]
+    # Perturbing a masked object's prediction must not change the loss.
+    pred2 = pred.at[:, :, -1].add(100.0)
+    pert = compute_graph_loss(cfg, batch, pred2)["total_loss"]
+    assert np.isclose(float(base), float(pert))
+    # Perturbing a real object's prediction must change it.
+    pred3 = pred.at[:, 1:, 0].add(1.0)
+    assert not np.isclose(float(base),
+                          float(compute_graph_loss(cfg, batch, pred3)["total_loss"]))
+    # Frame 0 (the seed) is excluded (reference slices [:, 1:]).
+    pred4 = pred.at[:, 0].add(5.0)
+    assert np.isclose(float(base),
+                      float(compute_graph_loss(cfg, batch, pred4)["total_loss"]))

@@ -1,0 +1,157 @@
+"""Model-level tests: shapes, invariants, teacher-forced/AR consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.models import (
+    AG2VideoModel,
+    Acts2LayoutModel,
+    Layout2VidGenerator,
+    MultiscaleActionDiscriminator,
+)
+from ag2video_tpu.models.layout_model import action_clock
+from ag2video_tpu.vocab import get_vocab
+
+
+def make_batch(rng, B=2, T=4, O=6, E=6, A=3, H=32, num_attr=4):
+    objs = rng.randint(1, 3, (B, O, num_attr))
+    objs[:, -1] = 0  # dummy/padding slot
+    triplets = np.stack(
+        [rng.randint(0, O, (B, T, E)), rng.randint(0, 7, (B, T, E)),
+         rng.randint(0, O, (B, T, E))], -1)
+    actions = np.concatenate(
+        [rng.randint(0, O, (B, A, 1)), rng.randint(1, 5, (B, A, 1)),
+         rng.randint(0, O, (B, A, 1)),
+         rng.uniform(-0.5, 0.5, (B, A, 2)), rng.uniform(0, 1, (B, A, 2))],
+        -1).astype(np.float32)
+    boxes = rng.uniform(0.1, 0.5, (B, T, O, 4)).astype(np.float32)
+    imgs = rng.randn(B, T, H, H, 3).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in
+            dict(imgs=imgs, objs=objs, triplets=triplets, actions=actions,
+                 boxes=boxes).items()}
+
+
+def test_action_clock_gating():
+    # One action spanning [f1, f2] = [0, 1]: active for the whole clip.
+    actions = jnp.asarray([[[1, 2, 0, 0.0, 1.0, 0, 0]]], jnp.float32)
+    rel, gated = action_clock(actions, 4, pad_action_idx=6)
+    assert rel.shape == (1, 4, 1)
+    assert np.all(np.asarray(gated) == 2)
+    # An action entirely in the past ([f1, f2] = [-3, -2]) is padded out.
+    past = jnp.asarray([[[1, 2, 0, -3.0, -2.0, 0, 0]]], jnp.float32)
+    _, gated_past = action_clock(past, 4, pad_action_idx=6)
+    assert np.all(np.asarray(gated_past) == 6)
+
+
+def test_layout_rollout_is_cumulative(rng):
+    v = get_vocab("cater")
+    b = make_batch(rng)
+    m = Acts2LayoutModel(vocab=v)
+    vars_ = m.init(jax.random.PRNGKey(0), b["objs"], b["triplets"],
+                   b["actions"], b["boxes"])
+    _, boxes_pred, _ = m.apply(vars_, b["objs"], b["triplets"], b["actions"],
+                               b["boxes"])
+    bp = np.asarray(boxes_pred)
+    np.testing.assert_allclose(bp[:, 0], np.asarray(b["boxes"])[:, 0])
+    # Deltas should be non-trivial but bounded at init.
+    assert 0 < np.abs(bp[:, 1:] - bp[:, :-1]).max() < 10
+
+
+def test_layout_padded_graph_uniform_delta(rng):
+    """Fully padded triplets+actions -> identical delta for every object."""
+    v = get_vocab("cater")
+    b = make_batch(rng)
+    pad_p = v["pred_name_to_idx"]["__padding__"]
+    pad_a = float(v["action_name_to_idx"]["__padding__"])
+    triplets = b["triplets"].at[..., 1].set(pad_p)
+    actions = b["actions"].at[..., 1].set(pad_a)
+    # Same embedding input for every object too (uniform objs and boxes).
+    objs = jnp.ones_like(b["objs"])
+    boxes = jnp.broadcast_to(b["boxes"][:, :, :1], b["boxes"].shape)
+
+    m = Acts2LayoutModel(vocab=v)
+    vars_ = m.init(jax.random.PRNGKey(0), objs, triplets, actions, boxes)
+    _, bp, _ = m.apply(vars_, objs, triplets, actions, boxes)
+    deltas = np.asarray(bp[:, 1] - bp[:, 0])
+    np.testing.assert_allclose(
+        deltas, np.broadcast_to(deltas[:, :1], deltas.shape), atol=1e-5)
+
+
+def test_generator_teacher_vs_ar_single_frame(rng):
+    """With exactly one generated frame, teacher forcing and autoregressive
+    rollout condition on the same GT frame -> identical output. Proves the
+    two code paths share parameters and semantics."""
+    v = get_vocab("cater")
+    b = make_batch(rng, T=2, H=32)
+    obj_vecs = jnp.asarray(rng.randn(2, 2, 6, 128).astype(np.float32))
+    g = Layout2VidGenerator(vocab=v, semantic_nc=512)
+    vars_ = g.init(jax.random.PRNGKey(0), b["imgs"], b["objs"], obj_vecs,
+                   b["boxes"], teacher_forced=True, train=False)
+    out_tf, _, _ = g.apply(vars_, b["imgs"], b["objs"], obj_vecs, b["boxes"],
+                           teacher_forced=True, train=False)
+    out_ar, _, _ = g.apply(vars_, b["imgs"], b["objs"], obj_vecs, b["boxes"],
+                           teacher_forced=False, train=False)
+    np.testing.assert_allclose(np.asarray(out_tf), np.asarray(out_ar),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generator_residual_bounded(rng):
+    """Generated frames = tanh residual + warped prev => bounded by
+    |prev| + 1 (reference generator.py:86)."""
+    v = get_vocab("cater")
+    b = make_batch(rng, T=3, H=32)
+    imgs = jnp.clip(b["imgs"], -1, 1)
+    obj_vecs = jnp.asarray(rng.randn(2, 3, 6, 128).astype(np.float32))
+    g = Layout2VidGenerator(vocab=v, semantic_nc=512)
+    vars_ = g.init(jax.random.PRNGKey(0), imgs, b["objs"], obj_vecs,
+                   b["boxes"], train=False)
+    out, _, _ = g.apply(vars_, imgs, b["objs"], obj_vecs, b["boxes"],
+                        teacher_forced=True, train=False)
+    assert float(jnp.abs(out).max()) <= 2.0 + 1e-5
+
+
+def test_discriminator_structure(rng):
+    v = get_vocab("cater")
+    cfg = Config(image_size=(32, 32)).derive(v)
+    b = make_batch(rng)
+    m = Acts2LayoutModel(vocab=v)
+    mv = m.init(jax.random.PRNGKey(0), b["objs"], b["triplets"], b["actions"],
+                b["boxes"])
+    _, _, actions_data = m.apply(mv, b["objs"], b["triplets"], b["actions"],
+                                 b["boxes"])
+
+    d = MultiscaleActionDiscriminator(vocab=v, semantic_nc=cfg.semantic_nc)
+    dv = d.init(jax.random.PRNGKey(1), b["imgs"][:, 1:], b["objs"],
+                b["boxes"][:, 1:], {k: v_[:, 1:] for k, v_ in actions_data.items()},
+                train=False)
+    feats = d.apply(dv, b["imgs"][:, 1:], b["objs"], b["boxes"][:, 1:],
+                    {k: v_[:, 1:] for k, v_ in actions_data.items()},
+                    train=False)
+    assert len(feats) == 2           # num_D scales
+    assert len(feats[0]) == 5        # n_layers_D + 1 feature maps
+    assert feats[0][-1].shape[-1] == 1  # patch logits
+    # Second scale operates on pooled input -> smaller patches.
+    assert feats[1][-1].shape[1] < feats[0][-1].shape[1]
+
+
+@pytest.mark.slow
+def test_meta_model_end_to_end(rng):
+    v = get_vocab("cater")
+    cfg = Config(image_size=(32, 32), compute_dtype="float32").derive(v)
+    b = make_batch(rng)
+    m = AG2VideoModel(config=cfg, vocab=v)
+    vars_ = m.init({"params": jax.random.PRNGKey(0)}, b["imgs"], b["objs"],
+                   b["triplets"], b["actions"], b["boxes"], use_gt=True,
+                   train=False)
+    out = m.apply(vars_, b["imgs"], b["objs"], b["triplets"], b["actions"],
+                  b["boxes"], use_gt=True, train=False)
+    assert out["imgs_pred"].shape == b["imgs"].shape
+    assert out["boxes_pred"].shape == b["boxes"].shape
+    # graph_only short-circuits generation (reference meta_models.py:47-48).
+    out2 = m.apply(vars_, b["imgs"], b["objs"], b["triplets"], b["actions"],
+                   b["boxes"], graph_only=True, train=False)
+    assert set(out2.keys()) == {"boxes_pred", "actions_data"}
