@@ -1,0 +1,12 @@
+"""Host-side data pipeline (L5): datasets, fixed-shape collation, loaders.
+
+Datasets yield reference-shaped samples
+(vids, objs, boxes, triplets, norm_actions, video_id); `collate` pads to the
+*static* caps in Config (max_objects/max_triplets/max_actions) instead of
+the reference's per-batch dynamic maxima (data/dataset_params.py:26-44) —
+XLA requires fixed shapes, and the caps are derived from dataset statistics.
+"""
+
+from ag2video_tpu.data.collate import collate, Batch  # noqa: F401
+from ag2video_tpu.data.registry import get_dataset  # noqa: F401
+from ag2video_tpu.data.synthetic import SyntheticDataset  # noqa: F401

@@ -1,0 +1,155 @@
+"""Dataset registry + loader (reference: data/dataset_params.py:107-195).
+
+Four partitions with the reference's windowing scheme: `train` (short
+clips), `train_graph` (4x longer clips for the graph-only loss), `val`,
+`test`. A simple threaded prefetch loader feeds fixed-shape batches; data
+is sharded per host for multi-host training (replacing the reference's
+vestigial DistributedSampler hook, scripts/train.py:128-133).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.collate import Batch, collate
+from ag2video_tpu.data.synthetic import SyntheticDataset
+
+
+def get_dataset(name: str, partition: str, cfg: Config):
+    """Build a dataset for `partition` in
+    {train, train_graph, val, test}."""
+    if name == "synthetic":
+        frames = {
+            "train": cfg.frames_per_action,
+            "train_graph": 4 * cfg.frames_per_action_graph,
+            "val": cfg.frames_per_action,
+            "test": cfg.frames_per_action,
+        }[partition]
+        size = {
+            "train": cfg.dataset_size,
+            "train_graph": cfg.dataset_size,
+            "val": max(cfg.num_val_samples, 64),
+            "test": max(cfg.num_val_samples, 64),
+        }[partition]
+        return SyntheticDataset(
+            partition=partition,
+            image_size=cfg.image_size,
+            frames_per_action=frames,
+            dataset_size=size,
+            number_of_objects=min(cfg.number_of_objects, cfg.max_objects - 1),
+            seed=cfg.seed,
+            max_actions=cfg.max_actions,
+        )
+    if name == "cater":
+        from ag2video_tpu.data.cater import CATERDataset
+        return CATERDataset.from_config(partition, cfg)
+    if name == "smth_else":
+        from ag2video_tpu.data.smth import SmthElseDataset
+        return SmthElseDataset.from_config(partition, cfg)
+    raise ValueError(f"Unknown dataset {name!r}")
+
+
+class Loader:
+    """Threaded prefetching batch loader over an indexable dataset.
+
+    Per-host sharding: each JAX process sees a disjoint 1/num_hosts slice
+    (index stride), the TPU-native replacement for DistributedSampler.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        cfg: Config,
+        batch_size: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_threads: int = 2,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size or cfg.batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.indices = np.arange(host_index, len(dataset), host_count)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return len(self.indices) // self.batch_size
+        return int(np.ceil(len(self.indices) / self.batch_size))
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        idx = self.indices.copy()
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        n = len(idx) - (len(idx) % self.batch_size if self.drop_last else 0)
+        batches = [idx[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if not batches:
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            for bi, batch_idx in enumerate(batches):
+                if bi % self.num_threads != worker_id:
+                    continue
+                if stop.is_set():
+                    return
+                samples = []
+                for i in batch_idx:
+                    s = self.ds[int(i)]
+                    if s[0] is None:  # corrupt sample (reference cater.py:387)
+                        continue
+                    samples.append(s)
+                if samples:
+                    q.put((bi, self._collate(samples)))
+            q.put((None, None))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_threads)]
+        for t in threads:
+            t.start()
+
+        # Re-order by batch index to keep determinism despite threading.
+        pending: Dict[int, Batch] = {}
+        done_workers = 0
+        next_bi = 0
+        try:
+            while done_workers < self.num_threads or pending:
+                if next_bi in pending:
+                    yield pending.pop(next_bi)
+                    next_bi += 1
+                    continue
+                bi, batch = q.get()
+                if bi is None:
+                    done_workers += 1
+                    if done_workers == self.num_threads:
+                        # Drain stragglers in order.
+                        while next_bi in pending:
+                            yield pending.pop(next_bi)
+                            next_bi += 1
+                    continue
+                pending[bi] = batch
+        finally:
+            stop.set()
+
+    def _collate(self, samples) -> Batch:
+        return collate(
+            samples, self.ds.vocab, self.cfg.max_objects,
+            self.cfg.max_triplets, self.cfg.max_actions)
+
+    def forever(self) -> Iterator[Batch]:
+        epoch = 0
+        while True:
+            yield from self.epoch(epoch)
+            epoch += 1

@@ -1,0 +1,165 @@
+"""Synthetic moving-shapes dataset.
+
+The reference advertises `--dataset synthetic` (data/args.py:23) but never
+implements it; here it is the CPU-runnable CI and benchmark workload:
+procedurally generated scenes of colored shapes whose boxes follow the
+action semantics exactly (slide actions move an object linearly to
+(x_end, y_end) over the action window), with frames rendered analytically —
+so the graph->layout model has exact learnable dynamics and the
+layout->video model has consistent pixels, with no data on disk.
+
+Sample structure matches CATERDataset.__getitem__ (reference
+data/cater.py:359-419): (vids (T,H,W,3) ImageNet-normalized float32,
+objs {family: (O,) int}, boxes (T,O,4) xywh, triplets (T,E,3) int,
+norm_actions (A,7) float [s, a, o, t1, t2, x_end, y_end], video_id), with
+the whole-image dummy object appended (box [0,0,1,1], cater.py:327).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ag2video_tpu.vocab import synthetic_vocab
+
+# ImageNet statistics (reference data/cater.py:137-138).
+IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+COLOR_RGB = {
+    1: (0.85, 0.15, 0.15),  # red
+    2: (0.15, 0.75, 0.20),  # green
+    3: (0.20, 0.30, 0.90),  # blue
+    4: (0.90, 0.85, 0.15),  # yellow
+    5: (0.85, 0.20, 0.85),  # magenta
+    6: (0.15, 0.85, 0.85),  # cyan
+}
+SIZE_EXTENT = {1: 0.10, 2: 0.18}  # small, large (box side, fraction of image)
+
+
+class SyntheticDataset:
+    """Deterministic per-index scenes; no I/O."""
+
+    def __init__(
+        self,
+        partition: str = "train",
+        image_size: Tuple[int, int] = (64, 64),
+        frames_per_action: int = 4,
+        dataset_size: int = 1000,
+        number_of_objects: int = 5,
+        seed: int = 0,
+        max_actions: int = 2,
+    ):
+        self.partition = partition
+        self.image_size = image_size
+        self.frames = frames_per_action
+        self.size = dataset_size
+        self.num_objects = number_of_objects
+        self.max_actions = max_actions
+        # Distinct index spaces per partition.
+        self.seed = seed + {"train": 0, "train_graph": 0, "val": 10_000_000,
+                            "test": 20_000_000}.get(partition, 0)
+        self.vocab = synthetic_vocab()
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, index: int):
+        rng = np.random.RandomState(self.seed + index)
+        F = self.frames
+        O = self.num_objects
+        v = self.vocab
+
+        shapes = rng.randint(1, 4, O)
+        colors = rng.randint(1, 7, O)
+        sizes = rng.randint(1, 3, O)
+        extents = np.array([SIZE_EXTENT[s] for s in sizes], np.float32)
+
+        # Initial top-left corners, kept in frame.
+        pos0 = rng.uniform(0.05, 0.95 - extents[:, None], (O, 2)).astype(np.float32)
+
+        # Actions: slide K objects to random targets over sub-windows.
+        n_act = rng.randint(1, self.max_actions + 1)
+        subjects = rng.choice(O, size=n_act, replace=False)
+        slide_idx = v["action_name_to_idx"]["_slide"]
+        actions = []
+        targets = {}
+        windows = {}
+        for s in subjects:
+            x_end, y_end = rng.uniform(0.05, 0.75, 2).astype(np.float32)
+            # Normalized action window: (t1, t2) such that progress
+            # rel(t) = (t/F)*(t2 - t1) + t1 covers cases before/within clip.
+            kind = rng.randint(0, 3)
+            if kind == 0:
+                t1, t2 = 0.0, 1.0            # spans the whole clip
+            elif kind == 1:
+                t1, t2 = 0.0, 2.0            # first half of the clip
+            else:
+                t1, t2 = -1.0, 1.0           # second half of the clip
+            actions.append([float(s), float(slide_idx), float(s), t1, t2,
+                            float(x_end), float(y_end)])
+            targets[s] = np.array([x_end, y_end], np.float32)
+            windows[s] = (t1, t2)
+        norm_actions = np.array(actions, np.float32)
+
+        # Box rollout following the action-clock semantics exactly
+        # (progress rel(t) = (t/F)*(t2-t1+eps)+t1, clipped to [0,1]).
+        boxes = np.zeros((F, O + 1, 4), np.float32)
+        for t in range(F):
+            for o in range(O):
+                p = pos0[o].copy()
+                if o in targets:
+                    t1, t2 = windows[o]
+                    rel = (t / F) * (t2 - t1 + 1e-6) + t1
+                    rel = np.clip(rel, 0.0, 1.0)
+                    p = pos0[o] * (1 - rel) + targets[o] * rel
+                boxes[t, o] = [p[0], p[1], extents[o], extents[o]]
+            boxes[t, O] = [0.0, 0.0, 1.0, 1.0]  # dummy __image__ object
+
+        # Trivial __in_image__ triplets (reference cater.py:165-178).
+        in_image = v["pred_name_to_idx"]["__in_image__"]
+        triplets = np.array(
+            [[[o, in_image, O] for o in range(O)] for _ in range(F)],
+            np.int64)
+
+        objs: Dict[str, np.ndarray] = {
+            "shape": np.concatenate([shapes, [0]]).astype(np.int64),
+            "color": np.concatenate([colors, [0]]).astype(np.int64),
+            "size": np.concatenate([sizes, [0]]).astype(np.int64),
+        }
+
+        vids = self._render(boxes[:, :O], shapes, colors)
+        video_id = f"synthetic_{self.partition}_{index}"
+        return vids, objs, boxes, triplets, norm_actions, video_id
+
+    def _render(self, boxes: np.ndarray, shapes: np.ndarray,
+                colors: np.ndarray) -> np.ndarray:
+        """Draw shapes into frames; returns ImageNet-normalized (F,H,W,3)."""
+        F, O, _ = boxes.shape
+        H, W = self.image_size
+        ys = (np.arange(H, dtype=np.float32) + 0.5) / H
+        xs = (np.arange(W, dtype=np.float32) + 0.5) / W
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+
+        frames = np.zeros((F, H, W, 3), np.float32)
+        frames[..., :] = 0.12  # dark background
+        for t in range(F):
+            for o in range(O):
+                x0, y0, w, h = boxes[t, o]
+                cx, cy = x0 + w / 2, y0 + h / 2
+                u = (xx - cx) / (w / 2 + 1e-8)
+                vq = (yy - cy) / (h / 2 + 1e-8)
+                if shapes[o] == 1:      # square
+                    mask = (np.abs(u) <= 1) & (np.abs(vq) <= 1)
+                elif shapes[o] == 2:    # disc
+                    mask = u * u + vq * vq <= 1
+                else:                   # diamond
+                    mask = np.abs(u) + np.abs(vq) <= 1
+                frames[t][mask] = COLOR_RGB[int(colors[o])]
+        return (frames - IMG_MEAN) / IMG_STD
+
+
+def denormalize(img: np.ndarray) -> np.ndarray:
+    """ImageNet-normalized -> [0, 1] RGB (reference models/vis.py:29-44)."""
+    return np.clip(np.asarray(img) * IMG_STD + IMG_MEAN, 0.0, 1.0)

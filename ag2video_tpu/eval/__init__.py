@@ -1,0 +1,19 @@
+"""Evaluation stack (L7): Inception Score, FID, LPIPS, PRD, video metrics.
+
+Reference: evaluation/ (inception.py, fid/, fid_tf.py, video/,
+PerceptualSimilarity/). Metric math is exact; backbone networks are
+re-implemented in flax with weight-port loaders
+(scripts/port_torch_weights.py) — in a zero-egress environment the
+pretrained weights ship as local .npz assets when available, otherwise the
+metrics run with randomly-initialized backbones (valid for relative
+comparisons within a run, flagged in the output).
+"""
+
+from ag2video_tpu.eval.inception import InceptionScore, InceptionV3  # noqa: F401
+from ag2video_tpu.eval.fid import (  # noqa: F401
+    frechet_distance,
+    compute_statistics,
+    inception_score_from_probs,
+)
+from ag2video_tpu.eval.lpips import LPIPS  # noqa: F401
+from ag2video_tpu.eval.prd import compute_prd, prd_from_embedding  # noqa: F401

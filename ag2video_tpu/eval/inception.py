@@ -1,0 +1,222 @@
+"""InceptionV3 backbone + Inception Score.
+
+Reference: evaluation/inception.py:8-49 (train-time IS via torchvision
+inception_v3) and evaluation/fid/inception.py (TTUR pool3-feature port for
+FID). The architecture below follows torchvision's InceptionV3 (NHWC,
+flax); `pool3 features` = the 2048-d global-average-pooled activations.
+Pretrained weights load from assets/inception_v3.npz when present
+(scripts/port_torch_weights.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "inception_v3.npz",
+)
+
+
+class BasicConv(nn.Module):
+    """conv + BN(eps=1e-3, no affine bias conv) + relu (torchvision
+    BasicConv2d)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=self.padding, use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+def _avgpool3(x):
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+
+
+def _maxpool3s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b1 = BasicConv(64, (1, 1), name="branch1x1")(x, train)
+        b5 = BasicConv(48, (1, 1), name="branch5x5_1")(x, train)
+        b5 = BasicConv(64, (5, 5), padding="SAME", name="branch5x5_2")(b5, train)
+        b3 = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        b3 = BasicConv(96, (3, 3), padding="SAME", name="branch3x3dbl_2")(b3, train)
+        b3 = BasicConv(96, (3, 3), padding="SAME", name="branch3x3dbl_3")(b3, train)
+        bp = BasicConv(self.pool_features, (1, 1), name="branch_pool")(
+            _avgpool3(x), train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b3 = BasicConv(384, (3, 3), strides=(2, 2), name="branch3x3")(x, train)
+        bd = BasicConv(64, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv(96, (3, 3), padding="SAME", name="branch3x3dbl_2")(bd, train)
+        bd = BasicConv(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd, train)
+        return jnp.concatenate([b3, bd, _maxpool3s2(x)], axis=-1)
+
+
+class InceptionC(nn.Module):
+    c7: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c7 = self.c7
+        b1 = BasicConv(192, (1, 1), name="branch1x1")(x, train)
+        b7 = BasicConv(c7, (1, 1), name="branch7x7_1")(x, train)
+        b7 = BasicConv(c7, (1, 7), padding="SAME", name="branch7x7_2")(b7, train)
+        b7 = BasicConv(192, (7, 1), padding="SAME", name="branch7x7_3")(b7, train)
+        bd = BasicConv(c7, (1, 1), name="branch7x7dbl_1")(x, train)
+        bd = BasicConv(c7, (7, 1), padding="SAME", name="branch7x7dbl_2")(bd, train)
+        bd = BasicConv(c7, (1, 7), padding="SAME", name="branch7x7dbl_3")(bd, train)
+        bd = BasicConv(c7, (7, 1), padding="SAME", name="branch7x7dbl_4")(bd, train)
+        bd = BasicConv(192, (1, 7), padding="SAME", name="branch7x7dbl_5")(bd, train)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b3 = BasicConv(192, (1, 1), name="branch3x3_1")(x, train)
+        b3 = BasicConv(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3, train)
+        b7 = BasicConv(192, (1, 1), name="branch7x7x3_1")(x, train)
+        b7 = BasicConv(192, (1, 7), padding="SAME", name="branch7x7x3_2")(b7, train)
+        b7 = BasicConv(192, (7, 1), padding="SAME", name="branch7x7x3_3")(b7, train)
+        b7 = BasicConv(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7, train)
+        return jnp.concatenate([b3, b7, _maxpool3s2(x)], axis=-1)
+
+
+class InceptionE(nn.Module):
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        b1 = BasicConv(320, (1, 1), name="branch1x1")(x, train)
+        b3 = BasicConv(384, (1, 1), name="branch3x3_1")(x, train)
+        b3a = BasicConv(384, (1, 3), padding="SAME", name="branch3x3_2a")(b3, train)
+        b3b = BasicConv(384, (3, 1), padding="SAME", name="branch3x3_2b")(b3, train)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = BasicConv(448, (1, 1), name="branch3x3dbl_1")(x, train)
+        bd = BasicConv(384, (3, 3), padding="SAME", name="branch3x3dbl_2")(bd, train)
+        bda = BasicConv(384, (1, 3), padding="SAME", name="branch3x3dbl_3a")(bd, train)
+        bdb = BasicConv(384, (3, 1), padding="SAME", name="branch3x3dbl_3b")(bd, train)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = BasicConv(192, (1, 1), name="branch_pool")(_avgpool3(x), train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """Returns (logits, pool3): 1000-way logits and 2048-d pool features."""
+
+    num_classes: int = 1000
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BasicConv(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x, train)
+        x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
+        x = BasicConv(64, (3, 3), padding="SAME", name="Conv2d_2b_3x3")(x, train)
+        x = _maxpool3s2(x)
+        x = BasicConv(80, (1, 1), name="Conv2d_3b_1x1")(x, train)
+        x = BasicConv(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
+        x = _maxpool3s2(x)
+        x = InceptionA(32, name="Mixed_5b")(x, train)
+        x = InceptionA(64, name="Mixed_5c")(x, train)
+        x = InceptionA(64, name="Mixed_5d")(x, train)
+        x = InceptionB(name="Mixed_6a")(x, train)
+        x = InceptionC(128, name="Mixed_6b")(x, train)
+        x = InceptionC(160, name="Mixed_6c")(x, train)
+        x = InceptionC(160, name="Mixed_6d")(x, train)
+        x = InceptionC(192, name="Mixed_6e")(x, train)
+        x = InceptionD(name="Mixed_7a")(x, train)
+        x = InceptionE(name="Mixed_7b")(x, train)
+        x = InceptionE(name="Mixed_7c")(x, train)
+        pool3 = jnp.mean(x, axis=(1, 2))  # (N, 2048)
+        logits = nn.Dense(self.num_classes, name="fc")(pool3)
+        return logits, pool3
+
+
+def load_inception_params(path: str = DEFAULT_WEIGHTS):
+    if not os.path.exists(path):
+        return None
+    import pickle
+
+    data = np.load(path, allow_pickle=True)
+    tree = pickle.loads(data["params"].tobytes()) if "params" in data else None
+    return tree
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize, NHWC (torchvision F.interpolate parity is not
+    bit-exact but metric-equivalent)."""
+    return jax.image.resize(
+        x, (x.shape[0], *size, x.shape[-1]), method="bilinear")
+
+
+class InceptionScore:
+    """Accumulating IS (reference evaluation/inception.py:8-49): collect
+    softmax predictions over generated frames, then split-KL."""
+
+    def __init__(self, params=None, resize: bool = True, batch_size: int = 16):
+        self.model = InceptionV3()
+        self.random_init = params is None
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        self.params = params
+        self.resize = resize
+        self.batch_size = batch_size
+        self._probs = []
+        self._forward = jax.jit(self._fwd)
+
+    def _fwd(self, params, x):
+        if self.resize:
+            x = resize_bilinear(x, (299, 299))
+        logits, _ = self.model.apply(params, x)
+        return jax.nn.softmax(logits, axis=-1)
+
+    def clean(self):
+        self._probs = []
+
+    def __call__(self, imgs: jnp.ndarray):
+        """imgs: (N, H, W, 3), ImageNet-normalized or [-1,1]."""
+        self._probs.append(np.asarray(self._forward(self.params, imgs)))
+
+    def compute_score(self, splits: int = 5):
+        from ag2video_tpu.eval.fid import inception_score_from_probs
+
+        if not self._probs:
+            return 0.0, 0.0
+        probs = np.concatenate(self._probs, axis=0)
+        return inception_score_from_probs(probs, splits=splits)

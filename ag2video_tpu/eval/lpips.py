@@ -1,0 +1,110 @@
+"""LPIPS perceptual distance (net-lin over AlexNet features).
+
+Reference: evaluation/PerceptualSimilarity/ (vendored richzhang code):
+PerceptualLoss('net-lin','alex') — AlexNet conv features, per-layer unit
+normalization, learned 1x1 linear calibration weights, spatial mean, layer
+sum. Weights load from assets/lpips_alex.npz when present; otherwise
+uniform calibration weights over randomly-initialized features (relative
+comparisons only; flagged via `random_init`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "lpips_alex.npz",
+)
+
+# LPIPS input scaling (richzhang ScalingLayer).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet feature extractor, returning the 5 conv-relu
+    stages LPIPS taps."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        outs = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
+                    name="conv0")(x)
+        x = nn.relu(x)
+        outs.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), name="conv1")(x)
+        x = nn.relu(x)
+        outs.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding="SAME", name="conv2")(x)
+        x = nn.relu(x)
+        outs.append(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", name="conv3")(x)
+        x = nn.relu(x)
+        outs.append(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", name="conv4")(x)
+        x = nn.relu(x)
+        outs.append(x)
+        return outs
+
+
+def _unit_normalize(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS:
+    """lpips(x, y) over (N, H, W, 3) images in [-1, 1]."""
+
+    CHANNELS = (64, 192, 384, 256, 256)
+
+    def __init__(self, weights_path: str = DEFAULT_WEIGHTS):
+        self.net = AlexNetFeatures()
+        self.random_init = True
+        self.lin_weights = [np.ones((c,), np.float32) / c
+                            for c in self.CHANNELS]
+        if os.path.exists(weights_path):
+            data = np.load(weights_path)
+            params = {}
+            for i in range(5):
+                params[f"conv{i}"] = {
+                    "kernel": jnp.asarray(data[f"conv{i}_kernel"]),
+                    "bias": jnp.asarray(data[f"conv{i}_bias"]),
+                }
+                self.lin_weights[i] = np.asarray(data[f"lin{i}"], np.float32)
+            self.params = {"params": params}
+            self.random_init = False
+        else:
+            self.params = self.net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        self._fn = jax.jit(self._distance)
+
+    def _distance(self, params, x, y):
+        xs = (x - _SHIFT) / _SCALE
+        ys = (y - _SHIFT) / _SCALE
+        fx = self.net.apply(params, xs)
+        fy = self.net.apply(params, ys)
+        total = 0.0
+        for f1, f2, w in zip(fx, fy, self.lin_weights):
+            d = (_unit_normalize(f1) - _unit_normalize(f2)) ** 2
+            # learned 1x1 conv == channel-weighted sum; then spatial mean.
+            total = total + jnp.mean(
+                jnp.sum(d * jnp.asarray(w), axis=-1), axis=(1, 2))
+        return total
+
+    def __call__(self, x, y) -> np.ndarray:
+        return np.asarray(self._fn(self.params, jnp.asarray(x),
+                                   jnp.asarray(y)))
+
+    def video_pair_distance(self, vid_a: np.ndarray, vid_b: np.ndarray) -> float:
+        """Mean per-frame LPIPS between two (T, H, W, 3) videos (reference
+        compute_dists_videos.py)."""
+        return float(np.mean(self(vid_a, vid_b)))

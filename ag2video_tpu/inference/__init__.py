@@ -1,0 +1,13 @@
+"""Inference & compositionality API (L6): checkpoint loading, programmatic
+action construction, long-horizon generation."""
+
+from ag2video_tpu.inference.actions import (  # noqa: F401
+    ACTION_BUILDERS,
+    converge,
+    converge_after,
+    converge_before,
+    shift_after,
+    shift_before,
+    swap,
+)
+from ag2video_tpu.inference.generate import GenerationSession  # noqa: F401

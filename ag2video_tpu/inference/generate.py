@@ -1,0 +1,145 @@
+"""Checkpoint-driven generation (reference: scripts/test.py:170-301).
+
+`GenerationSession` loads a run directory (run_args.json + itr_* orbax
+checkpoint), rebuilds the model, and exposes `generate(batch, actions=...)`
+— full autoregressive synthesis from frame 0 with predicted boxes, the
+reference's `model(..., test_mode=True, use_gt=False)` path — plus the
+action-variant sweep (action_accuracy / action_timing artifacts).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.collate import Batch
+from ag2video_tpu.inference import actions as action_lib
+from ag2video_tpu.models.meta import AG2VideoModel
+from ag2video_tpu.train import checkpoint as ckpt_lib
+from ag2video_tpu.train.state import create_train_state
+from ag2video_tpu.utils.vis import plot_vid, save_gif, save_video_pickle
+
+log = logging.getLogger(__name__)
+
+
+class GenerationSession:
+    def __init__(self, run_dir: str, checkpoint: Optional[str] = None,
+                 overrides: Optional[Dict[str, Any]] = None):
+        cfg, vocab = Config.load_run_args(run_dir)
+        if overrides:
+            cfg = cfg.replace(**overrides)
+        assert vocab is not None, "run_args.json must embed the vocab"
+        self.cfg = cfg
+        self.vocab = vocab
+        self.model = AG2VideoModel(config=cfg, vocab=vocab)
+        self._variables = None
+        self._run_dir = run_dir
+        self._checkpoint = checkpoint or run_dir
+        self._generate_jit = jax.jit(self._generate_fn)
+
+    # ------------------------------------------------------------------
+    def load(self, sample_batch: Batch):
+        """Initialize model shapes then restore weights (strict, like the
+        reference's load_state_dict(strict=True), test.py:193)."""
+        b = {k: jnp.asarray(v) for k, v in sample_batch.as_dict().items()}
+        state, _, _, _ = create_train_state(
+            self.cfg, self.vocab, jax.random.PRNGKey(0), b)
+        state = ckpt_lib.restore_checkpoint(self._checkpoint, state)
+        self._variables = {"params": state.params, **state.model_state}
+        return self
+
+    def load_variables(self, variables):
+        self._variables = variables
+        return self
+
+    # ------------------------------------------------------------------
+    def _generate_fn(self, variables, imgs, objs, triplets, actions, boxes):
+        out = self.model.apply(
+            variables, imgs, objs, triplets, actions, boxes,
+            test_mode=True, use_gt=False, train=False)
+        return out["imgs_pred"], out["boxes_pred"]
+
+    def generate(self, batch: Batch,
+                 actions: Optional[np.ndarray] = None):
+        """Generate videos; `actions` (A, 7) or (B, A, 7) overrides the
+        batch's actions (the compositionality hook)."""
+        assert self._variables is not None, "call load() first"
+        b = batch.as_dict()
+        if actions is not None:
+            a = np.asarray(actions, np.float32)
+            if a.ndim == 2:
+                a = np.broadcast_to(a[None], (b["imgs"].shape[0],) + a.shape)
+            # Pad/trim to the static action cap so every sweep variant hits
+            # the same compiled program (shape changes = recompiles).
+            cap = max(self.cfg.max_actions, b["actions"].shape[1])
+            pad_act = self.vocab["action_name_to_idx"]["__padding__"]
+            padded = np.zeros((a.shape[0], cap, 7), np.float32)
+            padded[:, :, 1] = pad_act
+            padded[:, :min(a.shape[1], cap)] = a[:, :cap]
+            b = dict(b, actions=padded)
+        imgs_pred, boxes_pred = self._generate_jit(
+            self._variables, jnp.asarray(b["imgs"]), jnp.asarray(b["objs"]),
+            jnp.asarray(b["triplets"]), jnp.asarray(b["actions"]),
+            jnp.asarray(b["boxes"]))
+        return np.asarray(imgs_pred), np.asarray(boxes_pred)
+
+    # ------------------------------------------------------------------
+    def run_action_sweep(self, batch: Batch, out_dir: str,
+                         dataset: Optional[str] = None) -> None:
+        """The reference's --save_actions sweep (test.py:205-279): for each
+        builder, generate the action, a 'before' timing variant, an 'after'
+        timing variant, and save the GT clip."""
+        dataset = dataset or self.cfg.dataset
+        if dataset == "cater":
+            builders = action_lib.cater_execute_set(self.vocab)
+        else:
+            slide = self.vocab["action_name_to_idx"].get(
+                "_slide", 1)
+            builders = [{
+                "action_name": "slide",
+                "action_func": lambda objs, vids, boxes:
+                    action_lib.single(0, slide, x_end=0.1, y_end=0.1),
+            }]
+        vid_id = batch.video_ids[0]
+        for spec in builders:
+            name = spec["action_name"]
+            acts = spec["action_func"](batch.objs, batch.imgs, batch.boxes)
+            variants = {
+                os.path.join("action_accuracy", name): acts,
+                os.path.join("action_timing", name, "before"):
+                    action_lib.shift_before(acts) if name != "converge"
+                    else action_lib.converge_before(
+                        batch.objs.shape[1] - 1,
+                        int(acts[0, 1])),
+                os.path.join("action_timing", name, "after"):
+                    action_lib.shift_after(acts) if name != "converge"
+                    else action_lib.converge_after(
+                        batch.objs.shape[1] - 1,
+                        int(acts[0, 1])),
+            }
+            for rel, a in variants.items():
+                imgs_pred, boxes_pred = self.generate(batch, actions=a)
+                fn = os.path.join(out_dir, rel, f"{vid_id}.gif")
+                save_gif(plot_vid(imgs_pred[0], boxes_pred[0]), fn)
+                log.info("wrote %s", fn)
+            gt_fn = os.path.join(out_dir, "gt_action", name, f"{vid_id}.gif")
+            save_gif(plot_vid(np.asarray(batch.imgs)[0]), gt_fn)
+
+    def save_test_outputs(self, batch: Batch, out_dir: str) -> None:
+        """The reference's --save_test path (test.py:281-299): gif +
+        {'image','box'} pkl per video."""
+        imgs_pred, boxes_pred = self.generate(batch)
+        save_p = os.path.join(out_dir, "test")
+        for i, vid_id in enumerate(batch.video_ids):
+            save_gif(plot_vid(imgs_pred[i]), os.path.join(save_p, f"{vid_id}.gif"))
+            boxes_out = boxes_pred[i]
+            if boxes_out.shape[-2] > 3:
+                boxes_out = boxes_out[:, :-1]  # strip dummy (test.py:288-290)
+            save_video_pickle(os.path.join(save_p, f"{vid_id}.pkl"),
+                              imgs_pred[i], boxes_out)

@@ -1,0 +1,17 @@
+"""Parallelism (L1): device meshes and sharding.
+
+Replaces the reference's entire distributed story —
+DataParallelWithCallback scatter/gather + threaded SynchronizedBatchNorm
+(reference sync_batchnorm/, ~500 LoC of master/slave pipes) — with
+jax.sharding: a Mesh over ('data', 'model'), batch inputs sharded over
+'data', parameters replicated, and jit inserting psum/all-gather over ICI.
+Cross-replica batch-norm statistics are automatic (global-batch reductions
+under jit); no per-layer synchronization code exists at all.
+"""
+
+from ag2video_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)

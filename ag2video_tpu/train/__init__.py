@@ -1,0 +1,4 @@
+"""Trainer (L6 core): jitted train steps, state, checkpointing, val loop."""
+
+from ag2video_tpu.train.state import TrainState, create_train_state  # noqa: F401
+from ag2video_tpu.train.trainer import Trainer  # noqa: F401

@@ -1,0 +1,66 @@
+"""Checkpointing with the reference's self-describing-directory contract.
+
+Reference: scripts/train.py:528-543 saves `itr_<t>.pt` with model +
+gans_model + D + all optimizer states + vocab + counters; `run_args.json`
+describes the run (train.py:352) and is reloaded by the test CLI
+(test.py:173-179). Here: orbax checkpoints at `<output_dir>/itr_<t>/`
+holding the full TrainState, with vocab+config in `run_args.json`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ag2video_tpu.config import Config
+
+log = logging.getLogger(__name__)
+
+
+def checkpoint_path(output_dir: str, t: int) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"itr_{t}")
+
+
+def save_checkpoint(output_dir: str, t: int, epoch: int, state,
+                    cfg: Config, vocab: Dict[str, Any]) -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    cfg.save_run_args(output_dir, vocab)
+    path = checkpoint_path(output_dir, t)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    with open(os.path.join(output_dir, "counters.json"), "w") as f:
+        json.dump({"t": t, "epoch": epoch}, f)
+    log.info("saved checkpoint %s", path)
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    paths = glob.glob(os.path.join(os.path.abspath(output_dir), "itr_*"))
+    best, best_t = None, -1
+    for p in paths:
+        m = re.match(r".*itr_(\d+)$", p)
+        if m and int(m.group(1)) > best_t:
+            best, best_t = p, int(m.group(1))
+    return best
+
+
+def restore_checkpoint(path: str, target_state):
+    """Restore into the structure of `target_state` (must be pre-built with
+    matching shapes, like the reference's load_state_dict contract)."""
+    if os.path.isdir(path) and not re.match(r".*itr_\d+$", path):
+        found = latest_checkpoint(path)
+        if found is None:
+            raise FileNotFoundError(f"no itr_* checkpoints under {path}")
+        path = found
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path),
+                                 jax.device_get(target_state))
+    log.info("restored checkpoint %s", path)
+    return restored

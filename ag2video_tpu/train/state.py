@@ -1,0 +1,142 @@
+"""Training state: model/discriminator params + the reference's 3-optimizer
+split.
+
+Reference: scripts/train.py:365-368 builds `optimizer_graph` over
+acts_to_boxes params only and `optimizer_generator` over everything else;
+the discriminator owns its own Adam (meta_models.py:70). Here the same split
+is realized with two `optax.masked` Adams over the one model param tree
+(masks are complementary at the top level) plus a third Adam for D.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.models.discriminator import MultiscaleActionDiscriminator
+from ag2video_tpu.models.meta import AG2VideoModel
+from ag2video_tpu.models.vgg import VGG19Features, load_vgg19_params
+
+GRAPH_KEY = "acts_to_boxes"
+
+
+def _graph_mask(params) -> Any:
+    return {k: (k == GRAPH_KEY) for k in params}
+
+
+def _gen_mask(params) -> Any:
+    return {k: (k != GRAPH_KEY) for k in params}
+
+
+def make_optimizers(cfg: Config, params):
+    adam = lambda: optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
+    opt_graph = optax.masked(adam(), _graph_mask(params))
+    opt_gen = optax.masked(adam(), _gen_mask(params))
+    opt_d = adam()
+    return opt_graph, opt_gen, opt_d
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+    # Generator-side model (AG2VideoModel)
+    params: Any
+    model_state: Any          # {'batch_stats', 'spectral'}
+    opt_graph_state: Any
+    opt_gen_state: Any
+    # Discriminator
+    d_params: Any
+    d_state: Any              # {'spectral'}
+    opt_d_state: Any
+    # Frozen feature nets
+    vgg_params: Any = None
+    # Diagnostics
+    skipped_nan: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def create_train_state(
+    cfg: Config,
+    vocab: Dict[str, Any],
+    rng: jax.Array,
+    sample_batch: Dict[str, jnp.ndarray],
+) -> tuple:
+    """Initialize models, optimizers, and the TrainState.
+
+    Returns (state, model, discriminator, vgg_model).
+    """
+    model = AG2VideoModel(config=cfg, vocab=vocab)
+    disc = MultiscaleActionDiscriminator(
+        vocab=vocab,
+        embedding_dim=cfg.embedding_dim,
+        gconv_dim=cfg.gconv_dim,
+        gconv_hidden_dim=cfg.gconv_hidden_dim,
+        gconv_pooling=cfg.gconv_pooling,
+        mlp_normalization=cfg.mlp_normalization,
+        semantic_nc=cfg.semantic_nc,
+        num_D=cfg.num_D,
+        n_layers_D=cfg.n_layers_D,
+        ndf=cfg.ndf,
+        norm_D=cfg.norm_D,
+        dtype=jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None,
+    )
+    vgg = VGG19Features()
+
+    k_model, k_d, k_vgg = jax.random.split(rng, 3)
+    # jit the inits: eager tracing dispatches each primitive individually to
+    # the device (painfully slow over a remote-TPU tunnel).
+    mvars = jax.jit(
+        lambda k, b: model.init(
+            {"params": k}, b["imgs"], b["objs"], b["triplets"], b["actions"],
+            b["boxes"], use_gt=True, train=False)
+    )(k_model, sample_batch)
+    params = mvars["params"]
+    model_state = {k: v for k, v in mvars.items() if k != "params"}
+
+    # Discriminator init needs actions_data from a layout forward.
+    ncond = cfg.n_frames_G - 1
+
+    def _init_d(k, mv, b):
+        out = model.apply(mv, b["imgs"], b["objs"], b["triplets"],
+                          b["actions"], b["boxes"], graph_only=True,
+                          train=False)
+        return disc.init(
+            {"params": k}, b["imgs"][:, ncond:], b["objs"],
+            b["boxes"][:, ncond:],
+            {kk: v[:, ncond:] for kk, v in out["actions_data"].items()},
+            train=False)
+
+    dvars = jax.jit(_init_d)(k_d, mvars, sample_batch)
+    d_params = dvars["params"]
+    d_state = {k: v for k, v in dvars.items() if k != "params"}
+
+    vgg_vars = load_vgg19_params()
+    if vgg_vars is None and not cfg.no_vgg_loss:
+        vgg_vars = jax.jit(vgg.init)(
+            k_vgg, jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32))
+
+    opt_graph, opt_gen, opt_d = make_optimizers(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_graph_state=opt_graph.init(params),
+        opt_gen_state=opt_gen.init(params),
+        d_params=d_params,
+        d_state=d_state,
+        opt_d_state=opt_d.init(d_params),
+        vgg_params=None if vgg_vars is None else vgg_vars["params"],
+    )
+    return state, model, disc, vgg
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

@@ -1,0 +1,324 @@
+"""The training loop (reference: scripts/train.py:335-513).
+
+One iteration = (G step + D step on short clips) + (graph step on 4x longer
+clips), matching the reference's dual-loader scheme
+(train.py:425-493). Everything inside `train_step`/`graph_step` is one
+jit-compiled program: forward, all losses, all three optimizer updates —
+no host round-trips, no DataParallel scatter/gather, no SyncBN thread
+rendezvous.
+
+Failure handling parity: the reference skips NaN-loss batches
+(train.py:450-453); here non-finite G/D losses select the *old*
+params/opt-state inside jit (`_guarded_update`) and bump a skip counter.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.collate import Batch
+from ag2video_tpu.losses.loss_model import (
+    compute_discriminator_loss,
+    compute_generator_loss,
+    compute_graph_loss,
+)
+from ag2video_tpu.ops.metrics import iou_stats
+from ag2video_tpu.train import checkpoint as ckpt_lib
+from ag2video_tpu.train.state import TrainState, create_train_state, make_optimizers
+
+log = logging.getLogger(__name__)
+
+
+def _tree_select(pred, a, b):
+    """pred ? a : b over pytrees (cheap jnp.where on each leaf)."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, vocab: Dict[str, Any], mesh=None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.mesh = mesh
+        self.state: Optional[TrainState] = None
+        self.model = None
+        self.disc = None
+        self.vgg = None
+        self._train_step = None
+        self._graph_step = None
+        self._eval_forward = None
+
+    # ------------------------------------------------------------------
+    def init(self, sample_batch: Batch, graph_sample: Optional[Batch] = None,
+             rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        batch = {k: jnp.asarray(v) for k, v in sample_batch.as_dict().items()}
+        self.state, self.model, self.disc, self.vgg = create_train_state(
+            self.cfg, self.vocab, rng, batch)
+        if self.mesh is not None:
+            from ag2video_tpu.parallel import replicate
+            self.state = replicate(self.state, self.mesh)
+        self._build_steps()
+        return self.state
+
+    def _place(self, b: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is not None:
+            from ag2video_tpu.parallel import shard_batch
+            return shard_batch(b, self.mesh)
+        return b
+
+    # ------------------------------------------------------------------
+    def _d_apply(self, d_params, d_state, train):
+        def apply(img, objs, boxes, actions_data):
+            out = self.disc.apply(
+                {"params": d_params, **d_state}, img, objs, boxes,
+                actions_data, train=train,
+                mutable=["spectral"] if train else False)
+            return out[0] if train else out
+        return apply
+
+    def _vgg_features(self, vgg_params):
+        if vgg_params is None:
+            return None
+        return lambda x: self.vgg.apply({"params": vgg_params}, x)
+
+    def _build_steps(self):
+        cfg = self.cfg
+        opt_graph, opt_gen, opt_d = make_optimizers(cfg, self.state.params)
+        model, disc = self.model, self.disc
+
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            metrics: Dict[str, jnp.ndarray] = {}
+
+            # ---------------- G step (reference train.py:446-459) ----------
+            def g_loss_fn(params):
+                out, new_mstate = model.apply(
+                    {"params": params, **state.model_state},
+                    batch["imgs"], batch["objs"], batch["triplets"],
+                    batch["actions"], batch["boxes"],
+                    use_gt=True, train=True,
+                    mutable=["batch_stats", "spectral"])
+                # D runs frozen in the G pass (no state updates), matching
+                # detached D semantics for the generator objective.
+                d_apply = self._d_apply(state.d_params, state.d_state, False)
+                losses = compute_generator_loss(
+                    cfg, batch, out, d_apply,
+                    self._vgg_features(state.vgg_params))
+                return losses["total_loss"], (losses, out, new_mstate)
+
+            (g_total, (g_losses, model_out, new_mstate)), g_grads = (
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.params))
+
+            g_ok = jnp.isfinite(g_total)
+            updates, new_gen_opt = opt_gen.update(
+                g_grads, state.opt_gen_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_params = _tree_select(g_ok, new_params, state.params)
+            new_gen_opt = _tree_select(g_ok, new_gen_opt, state.opt_gen_state)
+            new_mstate = _tree_select(g_ok, new_mstate, state.model_state)
+
+            metrics.update({f"G/{k}": v for k, v in g_losses.items()})
+
+            # ---------------- D step (reference train.py:461-464) ----------
+            def d_loss_fn(d_params):
+                got = {"out": None}
+
+                def d_apply(img, objs, boxes, actions_data):
+                    feats, new_dstate = disc.apply(
+                        {"params": d_params, **state.d_state},
+                        img, objs, boxes, actions_data, train=True,
+                        mutable=["spectral"])
+                    got["out"] = new_dstate
+                    return feats
+
+                losses = compute_discriminator_loss(
+                    cfg, batch, model_out, d_apply)
+                return losses["total_img_loss"], (losses, got["out"])
+
+            (d_total, (d_losses, new_dstate)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+
+            d_ok = jnp.isfinite(d_total)
+            d_updates, new_d_opt = opt_d.update(
+                d_grads, state.opt_d_state, state.d_params)
+            new_d_params = optax.apply_updates(state.d_params, d_updates)
+            new_d_params = _tree_select(d_ok, new_d_params, state.d_params)
+            new_d_opt = _tree_select(d_ok, new_d_opt, state.opt_d_state)
+            new_dstate = _tree_select(d_ok, new_dstate, state.d_state)
+
+            metrics.update({f"D/{k}": v for k, v in d_losses.items()})
+            skipped = state.skipped_nan + jnp.where(g_ok & d_ok, 0, 1)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                model_state=new_mstate,
+                opt_gen_state=new_gen_opt,
+                d_params=new_d_params,
+                d_state=new_dstate,
+                opt_d_state=new_d_opt,
+                skipped_nan=skipped,
+            )
+            return new_state, metrics
+
+        def graph_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            """Graph-only loss on long clips (reference train.py:470-493)."""
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params, **state.model_state},
+                    batch["imgs"], batch["objs"], batch["triplets"],
+                    batch["actions"], batch["boxes"],
+                    graph_only=True, train=True)
+                losses = compute_graph_loss(cfg, batch, out["boxes_pred"])
+                return losses["total_loss"], losses
+
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            ok = jnp.isfinite(total)
+            updates, new_opt = opt_graph.update(
+                grads, state.opt_graph_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=_tree_select(ok, new_params, state.params),
+                opt_graph_state=_tree_select(ok, new_opt, state.opt_graph_state),
+                skipped_nan=state.skipped_nan + jnp.where(ok, 0, 1),
+            )
+            return new_state, {f"Graph/{k}": v for k, v in losses.items()}
+
+        def eval_forward(state: TrainState, batch, use_gt: bool):
+            """Val forward (reference check_model, train.py:136-252):
+            test_mode=True; when use_gt=False only the first frame seeds."""
+            boxes_in = batch["boxes"] if use_gt else (
+                jnp.concatenate(
+                    [batch["boxes"][:, :1],
+                     jnp.zeros_like(batch["boxes"][:, 1:])], axis=1))
+            out = model.apply(
+                {"params": state.params, **state.model_state},
+                batch["imgs"], batch["objs"], batch["triplets"],
+                batch["actions"], boxes_in,
+                test_mode=True, use_gt=use_gt, train=False)
+            boxes_pred = jnp.clip(out["boxes_pred"], 0.0, 1.0)
+            # Mask: strip frame 0, dummies, padding (train.py:180-197).
+            objs = batch["objs"]
+            real = (objs[..., 0] != 0)
+            mask = jnp.broadcast_to(
+                real[:, None, :], batch["boxes"][:, 1:].shape[:-1])
+            s_iou, c05, c03, n = iou_stats(
+                boxes_pred[:, 1:], batch["boxes"][:, 1:], mask)
+            return out["imgs_pred"], boxes_pred, (s_iou, c05, c03, n)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._graph_step = jax.jit(graph_step, donate_argnums=(0,))
+        self._eval_forward = jax.jit(eval_forward, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Batch) -> Dict[str, float]:
+        b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
+        self.state, metrics = self._train_step(self.state, b)
+        return metrics
+
+    def graph_step(self, batch: Batch) -> Dict[str, float]:
+        b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
+        self.state, metrics = self._graph_step(self.state, b)
+        return metrics
+
+    def eval_batch(self, batch: Batch, use_gt: bool):
+        b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
+        return self._eval_forward(self.state, b, use_gt)
+
+    # ------------------------------------------------------------------
+    def check_model(self, loader, use_gt: bool, max_samples: Optional[int] = None):
+        """Validation pass (reference check_model, train.py:136-252).
+        Returns (mean_losses, samples dict for visualization)."""
+        max_samples = max_samples or self.cfg.num_val_samples
+        tot = np.zeros(4)
+        samples = {}
+        n_seen = 0
+        for batch in loader.epoch(0):
+            imgs_pred, boxes_pred, stats = self.eval_batch(batch, use_gt)
+            tot += np.array([float(s) for s in stats])
+            if not samples:
+                samples = {
+                    "video_id": batch.video_ids,
+                    "vids": np.asarray(batch.imgs),
+                    "gt_boxes": np.asarray(batch.boxes),
+                    "pred_boxes": np.asarray(boxes_pred),
+                    "pred_vids": np.asarray(imgs_pred),
+                }
+            n_seen += batch.imgs.shape[0]
+            if n_seen >= max_samples:
+                break
+        denom = max(tot[3], 1.0)
+        mean_losses = {
+            "avg_iou": tot[0] / denom,
+            "total_iou_05": tot[1] / denom,
+            "total_iou_03": tot[2] / denom,
+        }
+        return mean_losses, samples
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, output_dir: str, t: int, epoch: int):
+        ckpt_lib.save_checkpoint(output_dir, t, epoch, self.state,
+                                 self.cfg, self.vocab)
+
+    def restore_checkpoint(self, path: str):
+        self.state = ckpt_lib.restore_checkpoint(path, self.state)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loader,
+        graph_loader,
+        val_loader=None,
+        num_iterations: Optional[int] = None,
+        log_every: Optional[int] = None,
+        checkpoint_every: Optional[int] = None,
+        metrics_writer=None,
+    ):
+        """The reference main loop (train.py:398-513), host side."""
+        cfg = self.cfg
+        num_iterations = num_iterations or cfg.num_iterations
+        log_every = log_every or cfg.print_every
+        checkpoint_every = checkpoint_every or cfg.checkpoint_every
+
+        train_iter = train_loader.forever() if not cfg.graph_only else None
+        graph_iter = graph_loader.forever()
+        t0 = time.time()
+        last = {}
+        t = int(self.state.step)
+        while t < num_iterations:
+            if checkpoint_every and t % checkpoint_every == 0 and cfg.output_dir:
+                self.save_checkpoint(cfg.output_dir, t, 0)
+                if val_loader is not None:
+                    for use_gt in (True, False):
+                        m, samples = self.check_model(val_loader, use_gt)
+                        tag = "use_gt" if use_gt else "no_use_gt"
+                        log.info("val[%s] @%d: %s", tag, t, m)
+                        if metrics_writer:
+                            metrics_writer.write(t, {f"{tag}/{k}": v
+                                                     for k, v in m.items()})
+            if not cfg.graph_only:
+                last.update(self.train_step(next(train_iter)))
+            last.update(self.graph_step(next(graph_iter)))
+            t = int(self.state.step) if not cfg.graph_only else t + 1
+
+            if t % log_every == 0:
+                vals = {k: float(v) for k, v in last.items()}
+                rate = t / max(time.time() - t0, 1e-9)
+                log.info("t=%d/%d (%.2f it/s) %s", t, num_iterations, rate,
+                         {k: round(v, 4) for k, v in vals.items()})
+                if metrics_writer:
+                    metrics_writer.write(t, vals)
+            if cfg.graph_only:
+                self.state = self.state.replace(step=jnp.asarray(t, jnp.int32))
+        return last

@@ -1,0 +1,1 @@
+"""Utilities: visualization, metric logging."""

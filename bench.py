@@ -1,0 +1,85 @@
+"""Benchmark: autoregressive video generation throughput on one TPU chip.
+
+The reference's headline workload is CATER 256x256 generation
+(scripts/test.py); the driver target is >24 generated frames/sec/chip
+(BASELINE.md). This benchmark runs the full inference pipeline — layout
+rollout (graph model) + autoregressive flow/SPADE frame generation — at
+CATER scale (256x256, semantic_nc=512, full-width generator) in bfloat16,
+and reports generated frames per second per chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+BASELINE_FPS = 24.0  # BASELINE.md: >24 generated frames/sec/chip
+
+
+def main():
+    import jax
+
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.models.meta import AG2VideoModel
+    from ag2video_tpu.vocab import get_vocab
+    from __graft_entry__ import _make_inputs
+
+    vocab = get_vocab("cater")
+    B, T = 2, 8  # 8-frame clips; 7 generated frames each (B=4 OOMs a v5e)
+    cfg = Config(
+        dataset="cater", image_size=(256, 256), frames_per_action=T,
+        batch_size=B, max_objects=11, max_triplets=11, max_actions=2,
+        compute_dtype="bfloat16",
+    ).derive(vocab)
+
+    model = AG2VideoModel(config=cfg, vocab=vocab)
+    b = _make_inputs(cfg, vocab, B=B, T=T)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k}, b["imgs"], b["objs"], b["triplets"], b["actions"],
+            b["boxes"], use_gt=True, train=False)
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def generate(variables, imgs, objs, triplets, actions, boxes):
+        # test_mode=True -> autoregressive rollout from predicted boxes,
+        # exactly the scripts.test inference path (reference test.py:241).
+        out = model.apply(variables, imgs, objs, triplets, actions, boxes,
+                          test_mode=True, use_gt=False, train=False)
+        return out["imgs_pred"]
+
+    args = (variables, b["imgs"], b["objs"], b["triplets"], b["actions"],
+            b["boxes"])
+
+    # Warmup/compile + output validation (guards against silent async
+    # failures masquerading as instant results).
+    out = jax.block_until_ready(generate(*args))
+    sample = float(out[0, -1, 128, 128, 0])
+    assert out.shape == (B, T, 256, 256, 3), out.shape
+    assert abs(sample) < 1e6 and sample == sample, sample
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = generate(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    ncond = cfg.n_frames_G - 1
+    frames = B * (T - ncond)
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "cater256_gen_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

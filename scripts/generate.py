@@ -1,0 +1,64 @@
+"""Inference / action-composition CLI (reference: scripts/test.py).
+
+    python -m scripts.generate --checkpoint output/run1 \
+        --output_dir output/results --save_test 1 --save_actions 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("generate")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="run dir (with run_args.json) or itr_* path")
+    p.add_argument("--output_dir", default="output/results")
+    p.add_argument("--save_test", type=int, default=1)
+    p.add_argument("--save_actions", type=int, default=1)
+    p.add_argument("--num_videos", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import os
+
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.inference.generate import GenerationSession
+
+    run_dir = args.checkpoint
+    if not os.path.isdir(run_dir) or not os.path.exists(
+            os.path.join(run_dir, "run_args.json")):
+        run_dir = os.path.dirname(args.checkpoint)
+
+    sess = GenerationSession(
+        run_dir, checkpoint=args.checkpoint,
+        overrides={"batch_size": args.batch_size})
+    cfg = sess.cfg
+
+    test_ds = get_dataset(cfg.dataset, "test", cfg)
+    loader = Loader(test_ds, cfg, batch_size=args.batch_size, shuffle=False,
+                    drop_last=False)
+
+    loaded = False
+    out_dir = os.path.join(args.output_dir, f"results_{cfg.dataset}")
+    n = 0
+    for batch in loader.epoch(0):
+        if not loaded:
+            sess.load(batch)
+            loaded = True
+        if args.save_actions:
+            sess.run_action_sweep(batch, out_dir)
+        if args.save_test:
+            sess.save_test_outputs(batch, out_dir)
+        n += len(batch.video_ids)
+        if n >= args.num_videos:
+            break
+    log.info("done; wrote artifacts for %d videos under %s", n, out_dir)
+
+
+if __name__ == "__main__":
+    main()

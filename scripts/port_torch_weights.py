@@ -1,0 +1,168 @@
+"""Port pretrained torch weights into the local .npz assets.
+
+Run on any machine with torchvision + downloaded checkpoints:
+
+    python -m scripts.port_torch_weights --net vgg19 --out assets/vgg19.npz
+    python -m scripts.port_torch_weights --net inception --out assets/inception_v3.npz
+    python -m scripts.port_torch_weights --net lpips_alex --out assets/lpips_alex.npz
+
+Kernels are transposed OIHW -> HWIO for flax. In a zero-egress environment
+this script is the documented path for shipping the assets; the eval stack
+runs (flagged) with random backbones when they're absent.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def port_vgg19(out_path: str):
+    import torchvision
+
+    tv = torchvision.models.vgg19(weights="IMAGENET1K_V1").features
+    data = {}
+    conv_i = 0
+    for layer in tv:
+        if layer.__class__.__name__ == "Conv2d":
+            w = layer.weight.detach().numpy().transpose(2, 3, 1, 0)
+            data[f"conv_{conv_i}_kernel"] = w
+            data[f"conv_{conv_i}_bias"] = layer.bias.detach().numpy()
+            conv_i += 1
+    np.savez(out_path, **data)
+    print(f"wrote {conv_i} conv layers to {out_path}")
+
+
+def port_lpips_alex(out_path: str):
+    import torchvision
+
+    alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
+    data = {}
+    conv_i = 0
+    for layer in alex:
+        if layer.__class__.__name__ == "Conv2d":
+            data[f"conv{conv_i}_kernel"] = (
+                layer.weight.detach().numpy().transpose(2, 3, 1, 0))
+            data[f"conv{conv_i}_bias"] = layer.bias.detach().numpy()
+            conv_i += 1
+    # Linear calibration weights from the lpips package if available.
+    try:
+        import lpips as lpips_pkg
+        import torch
+
+        net = lpips_pkg.LPIPS(net="alex")
+        for i, lin in enumerate(net.lins):
+            w = lin.model[-1].weight.detach().numpy().reshape(-1)
+            data[f"lin{i}"] = np.maximum(w, 0)
+    except Exception as e:  # uniform fallback
+        print("lpips package unavailable, writing uniform lin weights:", e)
+        for i, c in enumerate((64, 192, 384, 256, 256)):
+            data[f"lin{i}"] = np.ones((c,), np.float32) / c
+    np.savez(out_path, **data)
+    print(f"wrote lpips alex weights to {out_path}")
+
+
+def port_inception(out_path: str):
+    """Serializes the torchvision InceptionV3 state dict into a flax tree
+    matching ag2video_tpu.eval.inception.InceptionV3 param names."""
+    import pickle
+
+    import torchvision
+
+    tv = torchvision.models.inception_v3(weights="IMAGENET1K_V1",
+                                         transform_input=False)
+    sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+
+    def conv_block(prefix):
+        return {
+            "conv": {"kernel": sd[f"{prefix}.conv.weight"].transpose(2, 3, 1, 0)},
+            "bn": {
+                "scale": sd[f"{prefix}.bn.weight"],
+                "bias": sd[f"{prefix}.bn.bias"],
+            },
+        }, {
+            "bn": {
+                "mean": sd[f"{prefix}.bn.running_mean"],
+                "var": sd[f"{prefix}.bn.running_var"],
+            },
+        }
+
+    params, stats = {}, {}
+
+    def add(flax_name, torch_prefix):
+        p, s = conv_block(torch_prefix)
+        params[flax_name] = p
+        stats[flax_name] = s
+
+    # Stem
+    for name in ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                 "Conv2d_3b_1x1", "Conv2d_4a_3x3"]:
+        add(name, name)
+
+    def add_block(block, branch_names):
+        for b in branch_names:
+            add(f"{block}/{b}", f"{block}.{b}")
+        # nest under block dict
+    mixed = {
+        "Mixed_5b": ["branch1x1", "branch5x5_1", "branch5x5_2",
+                     "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3",
+                     "branch_pool"],
+        "Mixed_5c": ["branch1x1", "branch5x5_1", "branch5x5_2",
+                     "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3",
+                     "branch_pool"],
+        "Mixed_5d": ["branch1x1", "branch5x5_1", "branch5x5_2",
+                     "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3",
+                     "branch_pool"],
+        "Mixed_6a": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+                     "branch3x3dbl_3"],
+        "Mixed_6b": ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                     "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                     "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"],
+        "Mixed_6c": None, "Mixed_6d": None, "Mixed_6e": None,
+        "Mixed_7a": ["branch3x3_1", "branch3x3_2", "branch7x7x3_1",
+                     "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"],
+        "Mixed_7b": ["branch1x1", "branch3x3_1", "branch3x3_2a",
+                     "branch3x3_2b", "branch3x3dbl_1", "branch3x3dbl_2",
+                     "branch3x3dbl_3a", "branch3x3dbl_3b", "branch_pool"],
+        "Mixed_7c": None,
+    }
+    mixed["Mixed_6c"] = mixed["Mixed_6b"]
+    mixed["Mixed_6d"] = mixed["Mixed_6b"]
+    mixed["Mixed_6e"] = mixed["Mixed_6b"]
+    mixed["Mixed_7c"] = mixed["Mixed_7b"]
+    for block, branches in mixed.items():
+        for b in branches:
+            add(f"{block}/{b}", f"{block}.{b}")
+
+    params["fc"] = {"kernel": sd["fc.weight"].T, "bias": sd["fc.bias"]}
+
+    # Un-flatten the a/b names into nested dicts.
+    def nest(flat):
+        tree = {}
+        for k, v in flat.items():
+            parts = k.split("/")
+            cur = tree
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = v
+        return tree
+
+    payload = {"params": nest(params), "batch_stats": nest(stats)}
+    blob = np.frombuffer(pickle.dumps(payload), dtype=np.uint8)
+    np.savez(out_path, params=blob)
+    print(f"wrote inception weights to {out_path}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--net", required=True,
+                   choices=["vgg19", "inception", "lpips_alex"])
+    p.add_argument("--out", required=True)
+    args = p.parse_args()
+    {"vgg19": port_vgg19, "inception": port_inception,
+     "lpips_alex": port_lpips_alex}[args.net](args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Training CLI (reference: scripts/train.py).
+
+    python -m scripts.train --dataset synthetic --image_size 64,64 \
+        --num_iterations 1000 --output_dir output/run1
+
+Flag names mirror the reference's (data/args.py) where observable. The run
+directory is self-describing: `run_args.json` (+vocab) is written at start
+and consumed by scripts.generate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(message)s")
+log = logging.getLogger("train")
+
+
+def int_tuple(s):
+    return tuple(int(i) for i in s.split(","))
+
+
+def bool_flag(s):
+    if s in ("1", "true", "True"):
+        return True
+    if s in ("0", "false", "False"):
+        return False
+    raise ValueError(f'Invalid bool flag "{s}"')
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Auto-generate flags from the Config dataclass + reference aliases."""
+    from ag2video_tpu.config import Config
+
+    p = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        if f.type in ("bool", bool):
+            p.add_argument(name, type=bool_flag, default=f.default)
+        elif f.name == "image_size":
+            p.add_argument(name, type=int_tuple, default=f.default)
+        elif f.type in ("int", int):
+            p.add_argument(name, type=int, default=f.default)
+        elif f.type in ("float", float):
+            p.add_argument(name, type=float, default=f.default)
+        else:
+            p.add_argument(name, type=str, default=f.default)
+    return p
+
+
+def main(argv=None):
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.parallel import make_mesh
+    from ag2video_tpu.train.trainer import Trainer
+    from ag2video_tpu.utils.logging import MetricsWriter
+    import jax
+
+    args = build_parser().parse_args(argv)
+    cfg = Config.from_dict(vars(args))
+
+    train_ds = get_dataset(cfg.dataset, "train", cfg)
+    graph_ds = get_dataset(cfg.dataset, "train_graph", cfg)
+    val_ds = get_dataset(cfg.dataset, "val", cfg)
+    vocab = train_ds.vocab
+    cfg = cfg.derive(vocab)  # reference init_args (data/args.py:184-207)
+
+    host, nhost = jax.process_index(), jax.process_count()
+    lkw = dict(host_index=host, host_count=nhost)
+    train_loader = Loader(train_ds, cfg, shuffle=True, **lkw)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True, **lkw)
+    val_loader = Loader(val_ds, cfg, shuffle=cfg.shuffle_val, drop_last=False,
+                        **lkw)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        assert cfg.batch_size % n_dev == 0, (
+            f"batch_size {cfg.batch_size} must divide #devices {n_dev}"
+        )  # reference's GPU-divisibility assert, data/args.py:203-205
+        mesh = make_mesh(model=cfg.mesh_model)
+        log.info("mesh: %s", mesh)
+
+    trainer = Trainer(cfg, vocab, mesh=mesh)
+    sample = next(train_loader.epoch(0))
+    log.info("initializing model (first compile is slow)...")
+    trainer.init(sample)
+
+    from ag2video_tpu.train.state import param_count
+    log.info("G params: %.2fM  D params: %.2fM",
+             param_count(trainer.state.params) / 1e6,
+             param_count(trainer.state.d_params) / 1e6)
+
+    if cfg.restore_checkpoint:
+        trainer.restore_checkpoint(cfg.checkpoint_name)
+
+    writer = MetricsWriter(cfg.output_dir) if cfg.output_dir else None
+    if cfg.output_dir:
+        cfg.save_run_args(cfg.output_dir, vocab)
+
+    trainer.fit(train_loader, graph_loader, val_loader,
+                metrics_writer=writer)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Evaluation-stack tests: metric math properties + backbone shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.eval.fid import (
+    compute_statistics,
+    fid_from_features,
+    frechet_distance,
+    inception_score_from_probs,
+)
+from ag2video_tpu.eval.lpips import LPIPS
+from ag2video_tpu.eval.prd import compute_prd, prd_from_embedding
+
+
+def test_fid_zero_for_identical(rng):
+    f = rng.randn(500, 16).astype(np.float64)
+    assert abs(fid_from_features(f, f)) < 1e-6
+
+
+def test_fid_increases_with_mean_shift(rng):
+    f1 = rng.randn(500, 8)
+    d_small = fid_from_features(f1, f1 + 0.1)
+    d_big = fid_from_features(f1, f1 + 2.0)
+    assert 0 <= d_small < d_big
+
+
+def test_fid_known_gaussians():
+    # Identical covariance, mean shift delta: FID = ||delta||^2.
+    mu1 = np.zeros(4)
+    mu2 = np.array([1.0, 0, 0, 0])
+    sigma = np.eye(4)
+    assert abs(frechet_distance(mu1, sigma, mu2, sigma) - 1.0) < 1e-9
+
+
+def test_inception_score_bounds():
+    # Uniform predictions -> IS = 1; one-hot diverse predictions -> IS = C.
+    C, N = 10, 200
+    uniform = np.full((N, C), 1.0 / C)
+    m, s = inception_score_from_probs(uniform, splits=5)
+    assert abs(m - 1.0) < 1e-5
+    onehot = np.eye(C)[np.arange(N) % C] * 0.999 + 1e-4
+    onehot /= onehot.sum(1, keepdims=True)
+    m2, _ = inception_score_from_probs(onehot, splits=5)
+    assert m2 > 5.0
+
+
+def test_prd_identical_distributions():
+    d = np.full(10, 0.1)
+    p, r = compute_prd(d, d)
+    # Identical distributions -> the curve reaches (1, 1) -> max F1 ~ 1.
+    f1 = np.max(2 * p * r / (p + r + 1e-12))
+    assert f1 > 0.99
+
+
+def test_prd_disjoint_distributions():
+    a = np.zeros(10); a[:5] = 0.2
+    b = np.zeros(10); b[5:] = 0.2
+    p, r = compute_prd(a, b)
+    assert np.max(2 * p * r / (p + r + 1e-12)) < 0.01
+
+
+def test_prd_from_embedding_runs(rng):
+    e = rng.randn(100, 4)
+    r = rng.randn(100, 4) + 0.5
+    p, rec = prd_from_embedding(e, r, num_clusters=5, num_runs=2)
+    assert p.shape == rec.shape == (1001,)
+    assert np.all((p >= 0) & (p <= 1))
+
+
+def test_lpips_identity_zero(rng):
+    lp = LPIPS()
+    x = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    d = lp(x, x)
+    assert np.allclose(d, 0, atol=1e-6)
+    y = np.clip(x + 0.5, -1, 1)
+    assert np.all(lp(x, y) > 0)
+
+
+@pytest.mark.slow
+def test_inception_v3_shapes(rng):
+    from ag2video_tpu.eval.inception import InceptionV3
+
+    m = InceptionV3()
+    x = jnp.asarray(rng.randn(1, 299, 299, 3).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    logits, pool3 = m.apply(vars_, x)
+    assert logits.shape == (1, 1000)
+    assert pool3.shape == (1, 2048)
