@@ -108,7 +108,10 @@ class Loader:
                 samples = []
                 for i in batch_idx:
                     s = self.ds[int(i)]
-                    if s[0] is None:  # corrupt sample (reference cater.py:387)
+                    # Filter corrupt samples: CATER returns None tuples
+                    # (cater.py:387), SmthElse returns (False, reason)
+                    # (smth.py:299-358, collate filter dataset_params.py:30).
+                    if s[0] is None or isinstance(s[0], bool):
                         continue
                     samples.append(s)
                 if samples:

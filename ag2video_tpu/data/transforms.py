@@ -1,0 +1,105 @@
+"""Clip-level image transforms (reference: models/group_transforms.py,
+models/video_transforms.py, data/utils.py:21-80).
+
+Group transforms apply one sampled transform consistently to every frame of
+a clip. Pure numpy/PIL (host side); output is float32 NHWC ImageNet-
+normalized, matching the reference's GroupResize -> ToTensor ->
+GroupNormalize stack (cater.py:143-150).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def group_resize(frames: Sequence, size: Tuple[int, int]) -> List:
+    """Resize every PIL frame to (H, W) (reference GroupResize)."""
+    from PIL import Image
+
+    H, W = size
+    return [f.resize((W, H), Image.BILINEAR) for f in frames]
+
+
+def group_flip(frames: Sequence, flip: bool) -> List:
+    from PIL import Image
+
+    if not flip:
+        return list(frames)
+    return [f.transpose(Image.FLIP_LEFT_RIGHT) for f in frames]
+
+
+def group_multi_scale_crop(
+    frames: Sequence,
+    output_size: Tuple[int, int],
+    rng: np.random.RandomState,
+    scales=(1.0, 0.875, 0.75, 0.66),
+    fix_crop: bool = True,
+) -> List:
+    """Multi-scale fixed-offset crop (reference GroupMultiScaleCrop,
+    models/video_transforms.py:5-81): sample a crop size from `scales` of
+    the short side and one of 13 fixed offsets, identically per frame."""
+    from PIL import Image
+
+    w, h = frames[0].size
+    base = min(w, h)
+    crop_sizes = [int(base * s) for s in scales]
+    cw = crop_sizes[rng.randint(len(crop_sizes))]
+    ch = crop_sizes[rng.randint(len(crop_sizes))]
+
+    if fix_crop:
+        w_step = (w - cw) // 4
+        h_step = (h - ch) // 4
+        offsets = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+                   (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step),
+                   (0, 2 * h_step), (4 * w_step, 2 * h_step),
+                   (2 * w_step, 0), (2 * w_step, 4 * h_step),
+                   (1 * w_step, 1 * h_step), (3 * w_step, 1 * h_step),
+                   (1 * w_step, 3 * h_step), (3 * w_step, 3 * h_step)]
+        ox, oy = offsets[rng.randint(len(offsets))]
+    else:
+        ox = rng.randint(max(w - cw, 0) + 1)
+        oy = rng.randint(max(h - ch, 0) + 1)
+
+    cropped = [f.crop((ox, oy, ox + cw, oy + ch)) for f in frames]
+    H, W = output_size
+    return [f.resize((W, H), Image.BILINEAR) for f in cropped]
+
+
+def to_normalized_array(frames: Sequence) -> np.ndarray:
+    """PIL frames -> (T, H, W, 3) float32, ImageNet normalized."""
+    arr = np.stack([np.asarray(f.convert("RGB"), np.float32) / 255.0
+                    for f in frames])
+    return (arr - IMG_MEAN) / IMG_STD
+
+
+def denormalize(img: np.ndarray) -> np.ndarray:
+    """ImageNet-normalized -> [0, 1] (reference data/utils.py deprocess)."""
+    return np.clip(np.asarray(img) * IMG_STD + IMG_MEAN, 0.0, 1.0)
+
+
+def clip_transform(
+    frames: Sequence,
+    image_size: Tuple[int, int],
+    resize_or_crop: str = "resize",
+    train: bool = False,
+    no_flip: bool = True,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """The standard clip pipeline (reference set_transforms,
+    cater.py:143-150: resize -> tensor -> normalize; optional crop/flip
+    variants per resize_or_crop)."""
+    rng = rng or np.random.RandomState(0)
+    if resize_or_crop == "resize":
+        frames = group_resize(frames, image_size)
+    elif resize_or_crop == "crop":
+        frames = group_multi_scale_crop(frames, image_size, rng)
+    else:
+        frames = group_resize(frames, image_size)
+    if train and not no_flip:
+        frames = group_flip(frames, bool(rng.randint(2)))
+    return to_normalized_array(frames)

@@ -44,25 +44,50 @@ def cater_vocab() -> Dict[str, Any]:
     return _finalize(vocab)
 
 
-def smth_else_vocab() -> Dict[str, Any]:
+# The 8 Something-Something templates with known object counts
+# (reference: data/SomethingElse/config.py:1-32).
+SMTH_ACTIONS = [
+    "Putting [something] on a surface",
+    "Moving [something] up",
+    "Pushing [something] from left to right",
+    "Moving [something] down",
+    "Pushing [something] from right to left",
+    "Covering [something] with [something]",
+    "Uncovering [something]",
+    "Taking [one of many similar things on the table]",
+    "__padding__",
+]
+SMTH_ACTION_NUM_OBJECTS = {
+    "Putting [something] on a surface": 2,
+    "Moving [something] up": 2,
+    "Pushing [something] from left to right": 2,
+    "Moving [something] down": 2,
+    "Pushing [something] from right to left": 2,
+    "Covering [something] with [something]": 3,
+    "Uncovering [something]": 2,
+    "Taking [one of many similar things on the table]": 2,
+}
+
+
+def smth_else_vocab(object_names=None) -> Dict[str, Any]:
     """Something-Else vocab (reference: data/smth.py:84-104).
 
-    Single `object` attribute family; geometric spatial predicates; 8
-    directional hand-motion actions.
+    Single `object` attribute family (names from the dataset's
+    objs_mapping.json when available, else a minimal fallback); geometric
+    spatial predicates incl. 'cover'; the 8 action templates indexed by
+    their position in SMTH_ACTIONS (reference smth.py:86-89).
     """
     vocab: Dict[str, Any] = {}
     vocab["pred_name_to_idx"] = {
         "__in_image__": 0, "right": 1, "above": 2, "below": 3, "left": 4,
-        "surrounding": 5, "inside": 6, "__padding__": 7,
+        "surrounding": 5, "inside": 6, "cover": 7, "__padding__": 8,
     }
-    vocab["action_name_to_idx"] = {
-        "__in_image__": 0,
-        "_move_up": 1, "_move_right": 2, "_move_down": 3, "_move_left": 4,
-        "_pick_place": 5, "_move_closer": 6, "_move_away": 7, "_uncover": 8,
-        "__padding__": 9,
-    }
+    vocab["action_name_to_idx"] = {v: i for i, v in enumerate(SMTH_ACTIONS)}
+    if object_names is None:
+        object_names = ["object", "hand"]
+    names = ["__image__"] + sorted(set(object_names))
     vocab["attributes"] = {
-        "object": {"__image__": 0, "object": 1, "hand": 2},
+        "object": {n: i for i, n in enumerate(names)},
     }
     return _finalize(vocab)
 

@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument(name, type=float, default=f.default)
         else:
             p.add_argument(name, type=str, default=f.default)
+    # Cache pre-warmer flags (reference --cache_data/--num_workers/
+    # --worker_id, data/args.py:66-68).
+    p.add_argument("--cache_data", type=int, default=0)
+    p.add_argument("--cache_workers", type=int, default=1)
+    p.add_argument("--cache_worker_id", type=int, default=0)
     return p
 
 
@@ -64,6 +69,13 @@ def main(argv=None):
     cfg = Config.from_dict(vars(args))
 
     train_ds = get_dataset(cfg.dataset, "train", cfg)
+
+    # Dataset cache pre-warmer: decode a 1/num_workers shard then exit
+    # (reference --cache_data mode, scripts/train.py:328-343).
+    if getattr(args, "cache_data", 0):
+        if hasattr(train_ds, "cache_all"):
+            train_ds.cache_all(args.cache_workers, args.cache_worker_id)
+        return
     graph_ds = get_dataset(cfg.dataset, "train_graph", cfg)
     val_ds = get_dataset(cfg.dataset, "val", cfg)
     vocab = train_ds.vocab

@@ -1,0 +1,235 @@
+"""CATER / Something-Else pipeline tests on fabricated mini-datasets."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.cater import (
+    CATERDataset,
+    boxes_from_scene,
+    normalize_actions,
+    project_3d_points,
+    scene_actions,
+)
+from ag2video_tpu.data.smth import SmthElseDataset, geometric_predicate
+from ag2video_tpu.vocab import cater_vocab
+
+
+# ---------------------------------------------------------------- CATER
+def make_cater_scene(n_objects=3, n_frames=30, rng=None):
+    rng = rng or np.random.RandomState(0)
+    shapes = ["cube", "sphere", "cone", "cylinder", "spl"]
+    colors = ["red", "blue", "green"]
+    objects = []
+    for i in range(n_objects):
+        locs = {str(t): [float(rng.uniform(-2, 2)),
+                         float(rng.uniform(-2, 2)), 0.5]
+                for t in range(n_frames)}
+        objects.append({
+            "instance": f"obj_{i}",
+            "shape": shapes[i % len(shapes)],
+            "color": colors[i % len(colors)],
+            "material": "rubber",
+            "size": ["small", "medium", "large"][i % 3],
+            "locations": locs,
+        })
+    movements = {
+        "obj_0": [["_slide", None, 2, 20], ["_rotate", None, 0, 5]],
+        "obj_1": [["_contain", "obj_0", 5, 25]],
+    }
+    return {"objects": objects, "movements": movements}
+
+
+def test_projection_shape_and_range():
+    pts = np.array([[0.0, 0.0, 0.5], [1.0, 1.0, 0.5], [-2.0, 2.0, 0.0]])
+    p2 = project_3d_points(pts)
+    assert p2.shape == (3, 2)
+    assert np.all(np.abs(p2) < 2.0)  # on-stage points project near frame
+
+
+def test_boxes_from_scene_structure():
+    scene = make_cater_scene()
+    boxes = boxes_from_scene(scene)
+    assert boxes.shape == (30, 4, 4)  # 3 objects + dummy
+    np.testing.assert_allclose(boxes[:, -1], [[0, 0, 1, 1]] * 30)
+    assert np.all(boxes[:, :, 2:] > 0)  # positive extents
+
+
+def test_scene_actions_skips_short():
+    v = cater_vocab()
+    scene = make_cater_scene()
+    acts = scene_actions(scene, v)
+    # _rotate spans 5 frames < 12 -> dropped; _slide and _contain kept.
+    assert acts.shape == (2, 5)
+    names = {v["action_idx_to_name"][a] for a in acts[:, 1]}
+    assert names == {"_slide", "_contain"}
+
+
+def test_normalize_actions_progress():
+    v = cater_vocab()
+    boxes = np.tile(np.array([[0.2, 0.3, 0.1, 0.1]]), (40, 2, 1)).astype(np.float32)
+    acts = np.array([[0, v["action_name_to_idx"]["_slide"], 0, 10, 30]])
+    out = normalize_actions(acts, boxes, s_frame=10, e_frame=30, vocab=v)
+    assert out.shape == (1, 7)
+    # t1 = (10-10)/21 = 0; t2 = (30-10)/21 ~ 0.95
+    assert abs(out[0, 3]) < 1e-6 and 0.9 < out[0, 4] <= 1.0
+    # _slide gets the GT end position (box x0,y0 at f2).
+    np.testing.assert_allclose(out[0, 5:], [0.2, 0.3], atol=1e-6)
+    # action fully outside the clip -> dropped
+    out2 = normalize_actions(acts, boxes, s_frame=31, e_frame=39, vocab=v)
+    assert out2.shape == (1, 7) or out2[0, 3] <= 1.0  # still overlapping end
+    acts_past = np.array([[0, 2, 0, 0, 5]])
+    boxes5 = np.tile(boxes[:1], (6, 1, 1))
+    assert normalize_actions(acts_past, boxes5, 100, 140, v).shape == (0, 7)
+
+
+@pytest.fixture
+def cater_root(tmp_path):
+    root = tmp_path / "cater"
+    (root / "videos").mkdir(parents=True)
+    (root / "scenes").mkdir()
+    split = tmp_path / "train.txt"
+    rng = np.random.RandomState(1)
+    names = []
+    from PIL import Image
+
+    for k in range(3):
+        name = f"CATER_new_{k:06}"
+        names.append(name)
+        scene = make_cater_scene(n_objects=3, n_frames=30, rng=rng)
+        with open(root / "scenes" / f"{name}.json", "w") as f:
+            json.dump(scene, f)
+        # Pre-populate the PNG cache (skips .avi decode).
+        cache = root / "videos" / name
+        cache.mkdir()
+        for t in range(30):
+            Image.fromarray(
+                rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+            ).save(cache / f"{t:05}.png")
+        # Split file needs a matching .avi *name* only.
+        (root / "videos" / f"{name}.avi").touch()
+    split.write_text("".join(f"{n}.avi 1,2\n" for n in names))
+    return root, split
+
+
+def test_cater_dataset_end_to_end(cater_root):
+    root, split = cater_root
+    ds = CATERDataset(
+        split_file=str(split), data_root=str(root), image_size=(16, 16),
+        frames_per_action=4, initial_frames_per_sample=8, nframes=30,
+        is_val=True, seed=0)
+    assert len(ds) == 3
+    vids, objs, boxes, triplets, actions, vid = ds[0]
+    assert vids.shape == (4, 16, 16, 3)
+    assert boxes.shape == (4, 4, 4)
+    assert set(objs.keys()) == {"shape", "color", "material", "size"}
+    assert objs["shape"][-1] == 0  # dummy
+    assert triplets.shape[0] == 4 and triplets.shape[2] == 3
+    assert actions.shape[1] == 7
+    # Deterministic in val mode.
+    vids2, *_ = ds[0]
+    np.testing.assert_array_equal(vids, vids2)
+
+
+def test_cater_through_loader(cater_root):
+    from ag2video_tpu.data.collate import collate
+    root, split = cater_root
+    ds = CATERDataset(
+        split_file=str(split), data_root=str(root), image_size=(16, 16),
+        frames_per_action=4, initial_frames_per_sample=8, nframes=30,
+        is_val=True)
+    samples = [ds[i] for i in range(2)]
+    batch = collate(samples, ds.vocab, max_objects=6, max_triplets=8,
+                    max_actions=3)
+    assert batch.imgs.shape == (2, 4, 16, 16, 3)
+    assert batch.objs.shape == (2, 6, 4)
+    assert batch.boxes.shape == (2, 4, 6, 4)
+    # Padded boxes are -1 (reference dataset_params.py:69).
+    assert np.all(batch.boxes[:, :, 4:] == -1)
+
+
+# ------------------------------------------------------------ SmthElse
+def test_geometric_predicates():
+    a = np.array([0.1, 0.1, 0.4, 0.4])
+    inside = np.array([0.2, 0.2, 0.3, 0.3])
+    assert geometric_predicate(a, inside) == "surrounding"
+    assert geometric_predicate(inside, a) == "inside"
+    left = np.array([0.0, 0.1, 0.05, 0.4])
+    assert geometric_predicate(left, a) == "left"
+    below = np.array([0.1, 0.6, 0.4, 0.9])
+    assert geometric_predicate(below, a) == "below"
+
+
+@pytest.fixture
+def smth_root(tmp_path):
+    import pandas as pd
+    from PIL import Image
+
+    root = tmp_path / "smth"
+    (root / "offical_release_boxes" / "boxes_by_video_id").mkdir(parents=True)
+    (root / "frames").mkdir()
+    with open(root / "offical_release_boxes" / "objs_mapping.json", "w") as f:
+        json.dump({"pen": "object", "hand": "hand"}, f)
+
+    rows = []
+    rng = np.random.RandomState(0)
+    for vid in (101, 102):
+        rows.append({
+            "id": vid, "label": "moving pen up",
+            "template": "Moving [something] up",
+            "placeholders": "['pen']", "nr_instances": 2, "err": None,
+        })
+        meta = []
+        for t in range(20):
+            name = f"{vid}/{t:04}.jpg"
+            frame_dir = root / "frames" / str(vid)
+            frame_dir.mkdir(exist_ok=True)
+            Image.fromarray(
+                rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+            ).save(root / "frames" / name)
+            meta.append({
+                "name": name,
+                "nr_instances": 2,
+                "labels": [
+                    {"standard_category": "object 0", "gt_annotation": "pen",
+                     "category": "pen",
+                     "box2d": {"x1": 2.0 + t, "x2": 10.0 + t,
+                               "y1": 3.0, "y2": 12.0}},
+                    {"standard_category": "hand", "gt_annotation": "hand",
+                     "category": "hand",
+                     "box2d": {"x1": 12.0, "x2": 20.0,
+                               "y1": 5.0, "y2": 15.0}},
+                ],
+            })
+        vdir = root / "offical_release_boxes" / "boxes_by_video_id" / str(vid)
+        vdir.mkdir()
+        with open(vdir / "boxes.pkl", "wb") as f:
+            pickle.dump(meta, f)
+    csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return root, csv
+
+
+def test_smth_dataset_end_to_end(smth_root):
+    root, csv = smth_root
+    ds = SmthElseDataset(
+        labels_csv=str(csv), data_root=str(root), image_size=(16, 16),
+        frames_per_action=4, initial_frames_per_sample=8, is_val=True)
+    assert len(ds) == 2
+    out = ds[0]
+    assert not isinstance(out[0], bool), out[1] if len(out) > 1 else out
+    vids, objs, boxes, triplets, actions, vid = out
+    assert vids.shape == (4, 16, 16, 3)
+    assert boxes.shape[1] == 3  # 2 objects + dummy
+    names = ds.vocab["reverse_attributes"]["object"]
+    assert names[int(objs["object"][-2])] == "hand"
+    assert objs["object"][-1] == 0  # dummy
+    # Action chain: hand -> object (reference smth.py:211-217).
+    assert actions.shape == (1, 7)
+    assert int(actions[0, 0]) == 1 and int(actions[0, 2]) == 0
+    # Boxes move with the object annotation over time.
+    assert boxes[1, 0, 0] > boxes[0, 0, 0]
