@@ -97,6 +97,28 @@ def lsgan_d_loss(scores_real, scores_fake):
     return jnp.mean((r - 1.0) ** 2) + jnp.mean(f ** 2)
 
 
+def gradient_penalty(x_real, x_fake, f, rng, gamma: float = 1.0):
+    """WGAN-GP style penalty (reference models/losses.py:148-160): score an
+    eps-interpolate of real/fake and penalize the squared deviation of the
+    input-gradient norm from gamma. `f` maps images -> scores."""
+    import jax
+
+    N = x_real.shape[0]
+    eps = jax.random.normal(rng, (N,) + (1,) * (x_real.ndim - 1),
+                            dtype=x_real.dtype)
+    x_hat = eps * x_real + (1 - eps) * x_fake
+
+    def score_sum(xh):
+        s = f(xh)
+        if s.ndim > 1:
+            s = jnp.mean(s.reshape(s.shape[0], -1), axis=1)
+        return jnp.sum(s)
+
+    grad_x = jax.grad(score_sum)(x_hat)
+    norms = jnp.sqrt(jnp.sum(grad_x.reshape(N, -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean((norms - gamma) ** 2) / (gamma * gamma)
+
+
 def get_gan_losses(gan_type: str):
     """(g_loss, d_loss) pair by name (reference losses.py:21-36)."""
     table = {

@@ -1,0 +1,199 @@
+"""Additional discriminator families (reference discriminator.py:16-209,
+403-608) — defined upstream alongside the default action discriminator:
+
+* NLayerDiscriminatorTM / MultiscaleDiscriminatorT — temporal PatchGANs
+  over channel-stacked frame windows (discriminator.py:16-89).
+* NLayerDiscriminator / MultiscaleDiscriminator — layout-conditioned
+  PatchGANs: attribute-embedding rasterization concatenated to frames
+  (discriminator.py:161-209, 403-445).
+* AcAttDiscriminator / AcCropDiscriminator — per-object crop
+  discriminators with attribute auxiliary cross-entropy classifiers
+  (discriminator.py:448-531); crops via the differentiable ROI crop.
+
+All fixed-shape/masked: invalid object slots are excluded by weighting the
+auxiliary losses and real/fake scores rather than boolean indexing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.discriminator import NLayerActionDiscriminator
+from ag2video_tpu.models.embeddings import AttributeEmbeddings
+from ag2video_tpu.models.generator import remove_dummy_objects_mask
+from ag2video_tpu.models.layers import SpecCNN, avg_pool_3x3s2, global_avg_pool
+from ag2video_tpu.ops.crop import crop_bbox_batch
+from ag2video_tpu.ops.rasterize import boxes_to_layout_batch
+
+Dtype = Any
+
+
+class NLayerDiscriminatorTM(nn.Module):
+    """Temporal PatchGAN over a stacked frame window (reference
+    discriminator.py:16-59): input is (B, T, H, W, 3) channel-flattened."""
+
+    ndf: int = 64
+    n_layers_D: int = 4
+    norm_D: str = "spectralinstance"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray,
+                 train: bool = True) -> List[jnp.ndarray]:
+        B, T, H, W, C = frames.shape
+        x = jnp.moveaxis(frames, 1, -2).reshape(B, H, W, T * C)
+        return NLayerActionDiscriminator(
+            ndf=self.ndf, n_layers_D=self.n_layers_D, norm_D=self.norm_D,
+            dtype=self.dtype, name="patch")(x, train)
+
+
+class MultiscaleDiscriminatorT(nn.Module):
+    """num_D temporal PatchGANs at pooled scales (reference :62-89)."""
+
+    num_D: int = 2
+    ndf: int = 64
+    n_layers_D: int = 4
+    norm_D: str = "spectralinstance"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray,
+                 train: bool = True) -> List[List[jnp.ndarray]]:
+        B, T, H, W, C = frames.shape
+        x = jnp.moveaxis(frames, 1, -2).reshape(B, H, W, T * C)
+        results = []
+        for i in range(self.num_D):
+            feats = NLayerActionDiscriminator(
+                ndf=self.ndf, n_layers_D=self.n_layers_D,
+                norm_D=self.norm_D, dtype=self.dtype,
+                name=f"discriminator_{i}")(x, train)
+            results.append(feats)
+            if i + 1 < self.num_D:
+                x = avg_pool_3x3s2(x)
+        return results
+
+
+class MultiscaleDiscriminator(nn.Module):
+    """Layout-conditioned multiscale PatchGAN (reference :161-209): the
+    attribute embeddings are rasterized into the boxes and concatenated to
+    the frames — no action GCN (the simpler sibling of
+    MultiscaleActionDiscriminator)."""
+
+    vocab: Dict[str, Any]
+    embedding_dim: int = 128
+    num_D: int = 2
+    ndf: int = 64
+    n_layers_D: int = 4
+    norm_D: str = "spectralinstance"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, objs: jnp.ndarray,
+                 layout_boxes: jnp.ndarray,
+                 train: bool = True) -> List[List[jnp.ndarray]]:
+        B, T, H, W, _ = img.shape
+        cards = {a: max(t.values()) + 1
+                 for a, t in self.vocab["attributes"].items()}
+        att = AttributeEmbeddings(cards, self.embedding_dim,
+                                  use_attr_fc_gen=True, dtype=self.dtype,
+                                  name="attribute_embedding")(objs)
+        att_t = jnp.broadcast_to(att[:, None], (B, T) + att.shape[1:])
+        obj_mask = remove_dummy_objects_mask(objs)
+        seg = boxes_to_layout_batch(
+            att_t, layout_boxes, H, W,
+            mask=jnp.broadcast_to(obj_mask[:, None],
+                                  layout_boxes.shape[:-1]))
+        x = jnp.concatenate([img.astype(seg.dtype), seg], axis=-1)
+        x = x.reshape((B * T,) + x.shape[2:])
+        results = []
+        for i in range(self.num_D):
+            feats = NLayerActionDiscriminator(
+                ndf=self.ndf, n_layers_D=self.n_layers_D,
+                norm_D=self.norm_D, dtype=self.dtype,
+                name=f"discriminator_{i}")(x, train)
+            results.append(feats)
+            if i + 1 < self.num_D:
+                x = avg_pool_3x3s2(x)
+        return results
+
+
+class AcAttDiscriminator(nn.Module):
+    """Crop classifier head (reference :448-499): CNN -> 1024-d vec ->
+    real/fake score + per-attribute-family classifiers whose cross-entropy
+    is the auxiliary loss. Operates on pre-cropped object patches."""
+
+    vocab: Dict[str, Any]
+    arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    normalization: str = "none"
+    activation: str = "relu"
+    padding: str = "same"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, crops: jnp.ndarray, attr_ids: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """crops (N, h, w, 3); attr_ids (N, A); mask (N,) weighting.
+        Returns (real_scores (N, 1), masked-mean aux ce loss)."""
+        feats = SpecCNN(arch=self.arch, normalization=self.normalization,
+                        activation=self.activation, padding=self.padding,
+                        dtype=self.dtype, name="cnn")(crops, train)
+        vec = nn.Dense(1024, dtype=self.dtype, name="proj")(
+            global_avg_pool(feats))
+        real_scores = nn.Dense(1, dtype=self.dtype, name="real_classifier")(vec)
+
+        if mask is None:
+            mask = jnp.ones(crops.shape[0], jnp.float32)
+        mask = mask.astype(jnp.float32)
+        denom = jnp.clip(jnp.sum(mask), min=1.0)
+
+        families = list(self.vocab["attributes"])
+        ac_loss = 0.0
+        for k, fam in enumerate(families):
+            n_classes = max(self.vocab["attributes"][fam].values()) + 1
+            logits = nn.Dense(n_classes, dtype=self.dtype,
+                              name=f"obj_classifier_{fam}")(vec)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            ce = -jnp.take_along_axis(
+                logp, attr_ids[:, k][:, None], axis=-1)[:, 0]
+            ac_loss = ac_loss + jnp.sum(ce * mask) / denom
+        return real_scores.astype(jnp.float32), ac_loss
+
+
+class AcCropDiscriminator(nn.Module):
+    """Object-crop discriminator (reference :502-531): crop every object
+    from every frame, score + classify attributes."""
+
+    vocab: Dict[str, Any]
+    object_size: int = 32
+    arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    normalization: str = "none"
+    activation: str = "relu"
+    padding: str = "same"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray, objs: jnp.ndarray,
+                 boxes: jnp.ndarray, train: bool = True):
+        """imgs (B, T, H, W, 3); objs (B, O, A); boxes (B, T, O, 4).
+        Returns (real_scores (B*T*O, 1), aux ce loss, crops, mask)."""
+        B, T, H, W, _ = imgs.shape
+        O = objs.shape[1]
+        obj_mask = remove_dummy_objects_mask(objs)  # (B, O)
+        crops, legal = crop_bbox_batch(imgs, boxes, self.object_size,
+                                       mask=obj_mask)
+        flat_crops = crops.reshape((-1,) + crops.shape[3:])
+        flat_mask = legal.reshape(-1)
+        attr = jnp.broadcast_to(objs[:, None], (B, T, O, objs.shape[-1]))
+        flat_attr = attr.reshape(-1, objs.shape[-1])
+        scores, ac_loss = AcAttDiscriminator(
+            vocab=self.vocab, arch=self.arch,
+            normalization=self.normalization, activation=self.activation,
+            padding=self.padding, dtype=self.dtype,
+            name="att_discriminator",
+        )(flat_crops, flat_attr, flat_mask, train)
+        return scores, ac_loss, crops, flat_mask

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ag2video_tpu.models.embeddings import AttributeEmbeddings
@@ -212,6 +213,53 @@ class Acts2LayoutModel(nn.Module):
             "locs": jnp.stack([x_end, y_end], axis=-1),
         }
         return temporal_obj_vecs, boxes_pred, actions_data
+
+
+class MaskNet(nn.Module):
+    """Per-object soft-mask head (reference _build_mask_net,
+    model.py:76-97): nearest-upsample + conv + BN + relu doubling stages
+    from 1x1 to mask_size, then a 1x1 conv to a single channel. Off by
+    default upstream (mask_size=0, data/args.py:45) and never wired into
+    the forward pass there; provided here for the masks_to_layout path.
+    """
+
+    mask_size: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, mask_vecs: jnp.ndarray,
+                 train: bool = True) -> jnp.ndarray:
+        """mask_vecs (..., D) -> (..., mask_size, mask_size) logistic masks."""
+        if self.mask_size & (self.mask_size - 1):
+            raise ValueError("Mask size must be a power of 2")
+        lead = mask_vecs.shape[:-1]
+        D = mask_vecs.shape[-1]
+        x = mask_vecs.reshape((-1, 1, 1, D))
+        size = 1
+        i = 0
+        while size < self.mask_size:
+            from ag2video_tpu.models.layers import upsample_nearest
+
+            x = upsample_nearest(x, 2)
+            x = nn.Conv(D, (3, 3), padding="SAME", dtype=self.dtype,
+                        name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"bn_{i}")(x)
+            x = nn.relu(x)
+            size *= 2
+            i += 1
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv_out")(x)
+        return jax.nn.sigmoid(x[..., 0]).reshape(lead + (size, size))
+
+
+def create_mask_vecs(obj_vecs: jnp.ndarray, rng: jax.Array,
+                     mask_noise_dim: int) -> jnp.ndarray:
+    """Append shared layout noise to object vectors (reference
+    create_mask_vecs, model.py:90-97: one noise vector broadcast to every
+    (batch, object) slot)."""
+    noise = jax.random.normal(rng, (1, 1, mask_noise_dim), obj_vecs.dtype)
+    noise = jnp.broadcast_to(noise, obj_vecs.shape[:-1] + (mask_noise_dim,))
+    return jnp.concatenate([obj_vecs, noise], axis=-1)
 
 
 # Registry (reference model.py:178-180).

@@ -1,0 +1,129 @@
+"""Graph algebra utils (vs the reference's own inline test) + discriminator
+variants + mask net + gradient penalty."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.utils.graphs import (
+    get_maximal_transitive_triplets,
+    get_minimal_graph,
+    get_symmetric_triplets,
+    matrix_to_triplets,
+    reduce_transitive_edges,
+    transitive_closure,
+    triplets_to_adj_matrix,
+)
+
+
+def test_reduce_transitive_edges_reference_case():
+    """The reference's own unit-test fixture (graphs_utils.py:122-151).
+    NB: upstream this test FAILS (inverted p_keep semantics); our
+    implementation fixes the semantics: p_keep=0 -> minimal graph."""
+    triplets = [[0, 1, 1], [0, 1, 2], [0, 1, 3],
+                [1, 1, 2], [3, 1, 1], [3, 1, 2]]
+    reduced_expected = [[0, 1, 3], [1, 1, 2], [3, 1, 1]]
+
+    out_mat = triplets_to_adj_matrix(triplets)
+    back = matrix_to_triplets(out_mat, 1)
+    assert np.all(np.array(back) == np.array(triplets))
+
+    reduced = reduce_transitive_edges(triplets, p_keep=0)
+    assert np.all(np.array(reduced_expected) == np.array(reduced))
+    full = reduce_transitive_edges(triplets, p_keep=1)
+    assert np.all(np.array(full) == np.array(triplets))
+
+
+def test_transitive_closure_chain():
+    m = np.zeros((4, 4), np.uint8)
+    m[0, 1] = m[1, 2] = m[2, 3] = 1
+    c = transitive_closure(m)
+    assert c[0, 3] == 1 and c[0, 2] == 1 and c[3, 0] == 0
+
+
+def test_minimal_graph_removes_shortcuts():
+    m = np.zeros((3, 3), np.uint8)
+    m[0, 1] = m[1, 2] = m[0, 2] = 1  # 0->2 is redundant
+    mini = get_minimal_graph(m)
+    assert mini[0, 2] == 0 and mini[0, 1] == 1 and mini[1, 2] == 1
+
+
+def test_symmetric_and_maximal():
+    t = np.array([[0, 1, 2], [2, 1, 3]])
+    s = get_symmetric_triplets(t)
+    assert np.all(s[:, 0] == t[:, 2]) and np.all(s[:, 2] == t[:, 0])
+    maxi = get_maximal_transitive_triplets(t)
+    assert [0, 1, 3] in maxi.tolist()
+
+
+def test_discriminator_variants(rng):
+    from ag2video_tpu.models.discriminator_variants import (
+        AcCropDiscriminator,
+        MultiscaleDiscriminator,
+        MultiscaleDiscriminatorT,
+    )
+    from ag2video_tpu.vocab import get_vocab
+
+    v = get_vocab("synthetic")
+    B, T, O, H = 2, 3, 4, 32
+    imgs = jnp.asarray(rng.randn(B, T, H, H, 3).astype(np.float32))
+    objs_np = rng.randint(1, 3, (B, O, 3))
+    objs_np[:, -1] = 0
+    objs = jnp.asarray(objs_np)
+    boxes = jnp.asarray(rng.uniform(0.1, 0.4, (B, T, O, 4)).astype(np.float32))
+
+    dt = MultiscaleDiscriminatorT(num_D=2, n_layers_D=2, ndf=8)
+    vt = dt.init(jax.random.PRNGKey(0), imgs, train=False)
+    feats = dt.apply(vt, imgs, train=False)
+    assert len(feats) == 2 and feats[0][-1].shape[-1] == 1
+
+    dm = MultiscaleDiscriminator(vocab=v, embedding_dim=8, num_D=2,
+                                 n_layers_D=2, ndf=8)
+    vm = dm.init(jax.random.PRNGKey(1), imgs, objs, boxes, train=False)
+    feats = dm.apply(vm, imgs, objs, boxes, train=False)
+    assert len(feats) == 2 and feats[0][-1].shape[0] == B * T
+
+    dc = AcCropDiscriminator(vocab=v, object_size=8,
+                             arch="C4-8-2,C4-16-2")
+    vc = dc.init(jax.random.PRNGKey(2), imgs, objs, boxes, train=False)
+    scores, ac_loss, crops, mask = dc.apply(vc, imgs, objs, boxes,
+                                            train=False)
+    assert scores.shape == (B * T * O, 1)
+    assert np.isfinite(float(ac_loss))
+    assert crops.shape == (B, T, O, 8, 8, 3)
+    # Dummy object slots are masked out.
+    assert not bool(mask.reshape(B, T, O)[0, 0, -1])
+
+
+def test_mask_net(rng):
+    from ag2video_tpu.models.layout_model import MaskNet, create_mask_vecs
+
+    m = MaskNet(mask_size=8)
+    vecs = jnp.asarray(rng.randn(2, 3, 16).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), vecs, train=False)
+    masks = m.apply(vars_, vecs, train=False)
+    assert masks.shape == (2, 3, 8, 8)
+    assert float(masks.min()) >= 0 and float(masks.max()) <= 1
+
+    mv = create_mask_vecs(vecs, jax.random.PRNGKey(1), 4)
+    assert mv.shape == (2, 3, 20)
+    # Shared noise: identical across batch/object slots.
+    np.testing.assert_allclose(np.asarray(mv[0, 0, 16:]),
+                               np.asarray(mv[1, 2, 16:]))
+
+
+def test_gradient_penalty(rng):
+    from ag2video_tpu.losses.gan import gradient_penalty
+
+    x_real = jnp.asarray(rng.randn(4, 8, 8, 3).astype(np.float32))
+    x_fake = jnp.asarray(rng.randn(4, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(8 * 8 * 3).astype(np.float32))
+
+    def f(x):
+        return x.reshape(x.shape[0], -1) @ w
+
+    gp = gradient_penalty(x_real, x_fake, f, jax.random.PRNGKey(0))
+    # Linear scorer -> gradient norm is ||w|| everywhere.
+    expected = (float(jnp.linalg.norm(w)) - 1.0) ** 2
+    assert abs(float(gp) - expected) < 1e-3
