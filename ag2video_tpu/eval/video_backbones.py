@@ -1,0 +1,176 @@
+"""Video feature backbones for video-FID/IS/PRD.
+
+Reference: evaluation/video/inception.py:36-146 extracts clip features with
+either ResNeXt-101 (3D, Kinetics->UCF101; vendored Hara et al. resnext.py)
+or TSM (ResNet-50 with temporal shift; vendored TSM/ops/temporal_shift.py).
+Both are re-implemented in flax (videos as (B, T, H, W, C); 3D convs via
+nn.Conv with 3-axis kernels). Pretrained Kinetics weights are not
+downloadable here (the reference pulls them from Google Drive at runtime,
+video/inception.py:36-44); the extractors run with loaded .npz assets when
+present, else random init (flagged).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------- TSM
+def temporal_shift(x: jnp.ndarray, n_segments: int,
+                   fold_div: int = 8) -> jnp.ndarray:
+    """Shift 1/fold_div channels one step back in time and 1/fold_div one
+    step forward, zero-padded (reference TSM/ops/temporal_shift.py:11).
+
+    x: (B*T, H, W, C) with T = n_segments.
+    """
+    BT, H, W, C = x.shape
+    B = BT // n_segments
+    x = x.reshape(B, n_segments, H, W, C)
+    fold = C // fold_div
+    left = jnp.concatenate(
+        [x[:, 1:, ..., :fold], jnp.zeros_like(x[:, :1, ..., :fold])], axis=1)
+    right = jnp.concatenate(
+        [jnp.zeros_like(x[:, :1, ..., fold:2 * fold]),
+         x[:, :-1, ..., fold:2 * fold]], axis=1)
+    out = jnp.concatenate([left, right, x[..., 2 * fold:]], axis=-1)
+    return out.reshape(BT, H, W, C)
+
+
+class _Bottleneck2D(nn.Module):
+    """ResNet-50 bottleneck with optional temporal shift on the input."""
+
+    width: int
+    stride: int = 1
+    n_segments: int = 0  # >0 enables TSM shift
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x
+        if self.n_segments:
+            x = temporal_shift(x, self.n_segments)
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.width * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3")(y)
+        if inp.shape[-1] != self.width * 4 or self.stride != 1:
+            inp = nn.Conv(self.width * 4, (1, 1),
+                          strides=(self.stride, self.stride), use_bias=False,
+                          dtype=self.dtype, name="downsample_conv")(inp)
+            inp = nn.BatchNorm(use_running_average=not train,
+                               name="downsample_bn")(inp)
+        return nn.relu(inp + y)
+
+
+class TSMResNet50(nn.Module):
+    """TSN/ResNet-50 with temporal shift (reference TSM/ops/models.py:14).
+
+    Input (B, T, H, W, 3); returns (B, feat_dim) clip features (per-frame
+    features averaged over time, the TSN consensus)."""
+
+    n_segments: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, video, train: bool = False):
+        B, T, H, W, C = video.shape
+        x = video.reshape(B * T, H, W, C)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, (width, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            for b in range(blocks):
+                x = _Bottleneck2D(
+                    width, stride if b == 0 else 1, n_segments=T,
+                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
+                )(x, train)
+        feat = jnp.mean(x, axis=(1, 2))          # (B*T, 2048)
+        return jnp.mean(feat.reshape(B, T, -1), axis=1)  # TSN consensus
+
+
+# ------------------------------------------------------------ ResNeXt3D
+class _ResNeXtBottleneck3D(nn.Module):
+    """3D ResNeXt bottleneck, cardinality via feature_group_count
+    (reference evaluation/video/resnext.py, Hara et al.)."""
+
+    mid_planes: int
+    planes: int
+    cardinality: int = 32
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x
+        y = nn.Conv(self.mid_planes, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.mid_planes, (3, 3, 3), strides=self.stride,
+                    padding="SAME", feature_group_count=self.cardinality,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3")(y)
+        if inp.shape[-1] != self.planes or self.stride != (1, 1, 1):
+            inp = nn.Conv(self.planes, (1, 1, 1), strides=self.stride,
+                          use_bias=False, dtype=self.dtype,
+                          name="downsample_conv")(inp)
+            inp = nn.BatchNorm(use_running_average=not train,
+                               name="downsample_bn")(inp)
+        return nn.relu(inp + y)
+
+
+class ResNeXt3D101(nn.Module):
+    """ResNeXt-101 (3D, cardinality 32) clip-feature extractor.
+
+    Input (B, T, H, W, 3) -> (B, 2048) global-average-pooled features.
+    Layer plan [3, 4, 23, 3] as in the Kinetics backbone the reference
+    downloads (video/inception.py:36-44).
+    """
+
+    cardinality: int = 32
+    layers: Sequence[int] = (3, 4, 23, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, video, train: bool = False):
+        x = nn.Conv(64, (7, 7, 7), strides=(1, 2, 2),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv1")(video)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+        plan = [(128, 256, (1, 1, 1)), (256, 512, (2, 2, 2)),
+                (512, 1024, (2, 2, 2)), (1024, 2048, (2, 2, 2))]
+        for stage, ((mid, out, stride), blocks) in enumerate(
+                zip(plan, self.layers)):
+            for b in range(blocks):
+                x = _ResNeXtBottleneck3D(
+                    mid, out, cardinality=self.cardinality,
+                    stride=stride if b == 0 else (1, 1, 1),
+                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
+                )(x, train)
+        return jnp.mean(x, axis=(1, 2, 3))  # (B, 2048)
+
+
+BACKBONES = {"tsm": TSMResNet50, "resnext": ResNeXt3D101}

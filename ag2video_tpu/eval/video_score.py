@@ -1,0 +1,127 @@
+"""Video FID / IS / PRD over directories of generated and reference clips.
+
+Reference: evaluation/video/score.py:23-102 — extract clip features with a
+video backbone, cache them as .npy next to each directory, then compute
+Frechet distance / inception score / precision-recall.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import pickle
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ag2video_tpu.eval.fid import cached_features, fid_from_features
+from ag2video_tpu.eval.prd import prd_from_embedding
+from ag2video_tpu.eval.video_backbones import BACKBONES
+
+log = logging.getLogger(__name__)
+
+
+def load_clip(path: str, n_frames: int = 16,
+              size: Tuple[int, int] = (112, 112)) -> Optional[np.ndarray]:
+    """Load a clip from .gif/.mp4/.avi/.pkl into (T, H, W, 3) float32 in
+    [0, 1], uniformly resampled to n_frames."""
+    frames: List[np.ndarray] = []
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        arr = np.asarray(data["image"] if isinstance(data, dict) else data)
+        frames = [arr[t] for t in range(arr.shape[0])]
+        frames = [(f - f.min()) / max(f.max() - f.min(), 1e-6) for f in frames]
+    else:
+        import imageio
+
+        try:
+            reader = imageio.get_reader(path)
+            frames = [np.asarray(f, np.float32) / 255.0 for f in reader]
+        except Exception as e:
+            log.warning("failed to read %s: %s", path, e)
+            return None
+    if not frames:
+        return None
+    idx = np.linspace(0, len(frames) - 1, n_frames).astype(int)
+    frames = [frames[i] for i in idx]
+    import cv2
+
+    frames = [cv2.resize(np.asarray(f, np.float32), size[::-1])
+              for f in frames]
+    clip = np.stack(frames)
+    if clip.ndim == 3:
+        clip = np.repeat(clip[..., None], 3, axis=-1)
+    return clip[..., :3]
+
+
+class VideoFeatureExtractor:
+    """Backbone wrapper with the .npy cache contract."""
+
+    def __init__(self, backbone: str = "tsm", params=None,
+                 n_frames: int = 16, size=(112, 112), batch_size: int = 8):
+        self.model = BACKBONES[backbone]()
+        self.backbone = backbone
+        self.n_frames = n_frames
+        self.size = size
+        self.batch_size = batch_size
+        self.random_init = params is None
+        if params is None:
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, n_frames, *size, 3), jnp.float32))
+        self.params = params
+        self._fwd = jax.jit(lambda p, v: self.model.apply(p, v))
+
+    def extract_dir(self, directory: str, force: bool = False) -> np.ndarray:
+        def compute():
+            paths = sorted(
+                p for ext in ("*.gif", "*.mp4", "*.avi", "*.pkl")
+                for p in glob.glob(os.path.join(directory, ext)))
+            feats = []
+            batch: List[np.ndarray] = []
+
+            def flush():
+                if not batch:
+                    return
+                v = jnp.asarray(np.stack(batch))
+                feats.append(np.asarray(self._fwd(self.params, v)))
+                batch.clear()
+
+            for p in paths:
+                clip = load_clip(p, self.n_frames, self.size)
+                if clip is None:
+                    continue
+                batch.append(clip)
+                if len(batch) == self.batch_size:
+                    flush()
+            flush()
+            if not feats:
+                raise ValueError(f"no readable clips in {directory}")
+            return np.concatenate(feats, axis=0)
+
+        return cached_features(
+            directory, compute, f"features_{self.backbone}.npy", force)
+
+
+def compute_frechet_distance(gen_dir: str, ref_dir: str,
+                             backbone: str = "tsm", params=None) -> float:
+    """Video FID between two clip directories (reference video/score.py:43)."""
+    ex = VideoFeatureExtractor(backbone, params)
+    if ex.random_init:
+        log.warning("video backbone %s has RANDOM weights — scores are "
+                    "only comparable within this configuration", backbone)
+    return fid_from_features(ex.extract_dir(gen_dir), ex.extract_dir(ref_dir))
+
+
+def compute_precision_recall(gen_dir: str, ref_dir: str,
+                             backbone: str = "tsm", params=None,
+                             num_clusters: int = 20):
+    """Video PRD between two clip directories (reference video/score.py)."""
+    ex = VideoFeatureExtractor(backbone, params)
+    return prd_from_embedding(
+        ex.extract_dir(gen_dir), ex.extract_dir(ref_dir),
+        num_clusters=num_clusters)

@@ -1,0 +1,142 @@
+"""Standalone evaluation CLI.
+
+Subsumes the reference's scattered metric CLIs:
+  - image FID between two image dirs (evaluation/fid/fid_score.py:253)
+  - video FID/PRD between clip dirs (evaluation/video/score.py)
+  - LPIPS over paired {'image','box'} pkl videos
+    (evaluation/PerceptualSimilarity/compute_dists_videos.py) or image dirs
+    (compute_dists_dirs.py)
+  - Inception Score over an image dir
+
+    python -m scripts.evaluate image_fid  DIR_A DIR_B
+    python -m scripts.evaluate video_fid  GEN_DIR REF_DIR [--backbone tsm]
+    python -m scripts.evaluate video_prd  GEN_DIR REF_DIR
+    python -m scripts.evaluate lpips_videos GEN_DIR REF_DIR
+    python -m scripts.evaluate lpips_dirs DIR_A DIR_B
+    python -m scripts.evaluate is IMG_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("evaluate")
+
+
+def _load_images(directory, size=(299, 299), limit=None):
+    from PIL import Image
+
+    paths = sorted(
+        p for ext in ("*.png", "*.jpg", "*.jpeg")
+        for p in glob.glob(os.path.join(directory, ext)))
+    if limit:
+        paths = paths[:limit]
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize(size[::-1])
+        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(out)
+
+
+def _inception_pool3(imgs, batch_size=16):
+    import jax
+    import jax.numpy as jnp
+
+    from ag2video_tpu.eval.inception import InceptionV3, load_inception_params
+
+    model = InceptionV3()
+    params = load_inception_params()
+    if params is None:
+        log.warning("InceptionV3 has RANDOM weights (no assets/"
+                    "inception_v3.npz) — scores comparable only "
+                    "within this configuration")
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    fwd = jax.jit(lambda x: model.apply(params, x))
+    feats, probs = [], []
+    for i in range(0, len(imgs), batch_size):
+        logits, pool3 = fwd(jnp.asarray(imgs[i:i + batch_size]))
+        feats.append(np.asarray(pool3))
+        probs.append(np.asarray(jax.nn.softmax(logits, axis=-1)))
+    return np.concatenate(feats), np.concatenate(probs)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["image_fid", "video_fid", "video_prd",
+                                    "lpips_videos", "lpips_dirs", "is"])
+    p.add_argument("path_a")
+    p.add_argument("path_b", nargs="?")
+    p.add_argument("--backbone", default="tsm", choices=["tsm", "resnext"])
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.mode == "image_fid":
+        from ag2video_tpu.eval.fid import fid_from_features
+
+        fa, _ = _inception_pool3(_load_images(args.path_a, limit=args.limit))
+        fb, _ = _inception_pool3(_load_images(args.path_b, limit=args.limit))
+        result = {"image_fid": fid_from_features(fa, fb)}
+    elif args.mode == "video_fid":
+        from ag2video_tpu.eval.video_score import compute_frechet_distance
+
+        result = {"video_fid": compute_frechet_distance(
+            args.path_a, args.path_b, args.backbone)}
+    elif args.mode == "video_prd":
+        from ag2video_tpu.eval.prd import prd_to_max_f_beta_pair
+        from ag2video_tpu.eval.video_score import compute_precision_recall
+
+        prec, rec = compute_precision_recall(args.path_a, args.path_b,
+                                             args.backbone)
+        f8, f8inv = prd_to_max_f_beta_pair(prec, rec)
+        result = {"prd_f8": f8, "prd_f1_8": f8inv}
+    elif args.mode == "lpips_videos":
+        import pickle
+
+        from ag2video_tpu.eval.lpips import LPIPS
+
+        lp = LPIPS()
+        if lp.random_init:
+            log.warning("LPIPS has RANDOM backbone weights")
+        dists = []
+        gen_pkls = sorted(glob.glob(os.path.join(args.path_a, "*.pkl")))
+        for gp in gen_pkls[: args.limit]:
+            rp = os.path.join(args.path_b, os.path.basename(gp))
+            if not os.path.exists(rp):
+                continue
+            with open(gp, "rb") as f:
+                a = np.asarray(pickle.load(f)["image"], np.float32)
+            with open(rp, "rb") as f:
+                b = np.asarray(pickle.load(f)["image"], np.float32)
+            T = min(len(a), len(b))
+            dists.append(lp.video_pair_distance(a[:T], b[:T]))
+        result = {"lpips": float(np.mean(dists)), "n_pairs": len(dists)}
+    elif args.mode == "lpips_dirs":
+        from ag2video_tpu.eval.lpips import LPIPS
+
+        lp = LPIPS()
+        a = _load_images(args.path_a, size=(64, 64), limit=args.limit)
+        b = _load_images(args.path_b, size=(64, 64), limit=args.limit)
+        n = min(len(a), len(b))
+        result = {"lpips": float(np.mean(lp(a[:n], b[:n]))), "n_pairs": n}
+    else:  # is
+        from ag2video_tpu.eval.fid import inception_score_from_probs
+
+        _, probs = _inception_pool3(_load_images(args.path_a,
+                                                 limit=args.limit))
+        m, s = inception_score_from_probs(probs, splits=5)
+        result = {"inception_mean": m, "inception_std": s}
+
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

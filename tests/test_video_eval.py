@@ -1,0 +1,105 @@
+"""Video backbones, temporal shift, action metrics, video scoring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.eval.action_metrics import (
+    confusion_matrix,
+    kl_discrete,
+    per_class_fid,
+    quant,
+)
+from ag2video_tpu.eval.video_backbones import TSMResNet50, temporal_shift
+
+
+def test_temporal_shift_semantics(rng):
+    B, T, H, W, C = 1, 3, 2, 2, 8
+    x = rng.randn(B * T, H, W, C).astype(np.float32)
+    out = np.asarray(temporal_shift(jnp.asarray(x), n_segments=T))
+    xr = x.reshape(B, T, H, W, C)
+    outr = out.reshape(B, T, H, W, C)
+    fold = C // 8
+    # First fold: shifted back in time (t takes t+1's values; last t zero).
+    np.testing.assert_allclose(outr[:, 0, ..., :fold], xr[:, 1, ..., :fold])
+    assert np.all(outr[:, -1, ..., :fold] == 0)
+    # Second fold: shifted forward (t takes t-1; first t zero).
+    np.testing.assert_allclose(outr[:, 1, ..., fold:2 * fold],
+                               xr[:, 0, ..., fold:2 * fold])
+    assert np.all(outr[:, 0, ..., fold:2 * fold] == 0)
+    # Remaining channels untouched.
+    np.testing.assert_allclose(outr[..., 2 * fold:], xr[..., 2 * fold:])
+
+
+@pytest.mark.slow
+def test_tsm_resnet_features(rng):
+    m = TSMResNet50()
+    v = jnp.asarray(rng.randn(1, 4, 64, 64, 3).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), v)
+    f = m.apply(vars_, v)
+    assert f.shape == (1, 2048)
+    assert np.all(np.isfinite(np.asarray(f)))
+
+
+@pytest.mark.slow
+def test_resnext3d_features(rng):
+    from ag2video_tpu.eval.video_backbones import ResNeXt3D101
+
+    m = ResNeXt3D101(layers=(1, 1, 1, 1))  # shallow variant for CI speed
+    v = jnp.asarray(rng.randn(1, 8, 32, 32, 3).astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), v)
+    f = m.apply(vars_, v)
+    assert f.shape == (1, 2048)
+
+
+def test_kl_and_quant():
+    p = np.array([0.5, 0.5, 0.0])
+    q = np.array([0.25, 0.25, 0.5])
+    assert kl_discrete(p, q) > 0
+    assert abs(kl_discrete(p, p)) < 1e-12
+
+    # Confident, diverse predictions -> high I-score, low intra-entropy.
+    preds = np.eye(4)[np.arange(40) % 4] * 0.97 + 0.01
+    preds /= preds.sum(1, keepdims=True)
+    i_score, intra, inter, per_class = quant(preds, ["a", "b", "c", "d"])
+    assert i_score > 2.5
+    assert intra < 0.5 < inter
+    assert set(per_class) == {"a", "b", "c", "d"}
+
+
+def test_confusion_matrix():
+    m = confusion_matrix(3, np.array([0, 1, 1, 2]), np.array([0, 1, 2, 2]))
+    assert m[0, 0] == 100.0
+    assert m[2, 1] == 50.0 and m[2, 2] == 50.0
+
+
+def test_per_class_fid(rng):
+    f1 = rng.randn(60, 6)
+    cats = np.arange(60) % 3
+    same = per_class_fid(f1, f1 + 1e-9, cats, cats)
+    shifted = per_class_fid(f1, f1 + 3.0, cats, cats)
+    assert same < 0.1 < shifted
+
+
+def test_video_score_cache(tmp_path, rng):
+    """End-to-end dir scoring with tiny gifs + the .npy cache contract."""
+    import imageio
+
+    from ag2video_tpu.eval.video_score import VideoFeatureExtractor
+
+    d = tmp_path / "gen"
+    d.mkdir()
+    for i in range(3):
+        frames = [rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        imageio.mimsave(str(d / f"v{i}.gif"), frames)
+
+    ex = VideoFeatureExtractor("tsm", n_frames=4, size=(32, 32), batch_size=2)
+    feats = ex.extract_dir(str(d))
+    assert feats.shape == (3, 2048)
+    assert (d / "features_tsm.npy").exists()
+    # Second call hits the cache (byte-identical).
+    feats2 = ex.extract_dir(str(d))
+    np.testing.assert_array_equal(feats, feats2)
