@@ -1,0 +1,133 @@
+"""ctypes bindings for the native host data plane (native/agtpu_host.cpp).
+
+Loads `native/libagtpu_host.so` when present (build with `make -C native`);
+every entry point has a numpy fallback so the framework runs without the
+native build. The hot op is `clip_resize_normalize`: decode-to-uint8 frames
+-> resized, ImageNet-normalized float32 clip, multithreaded in C++ with the
+GIL released.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+LIB_PATH = os.path.join(_REPO_ROOT, "native", "libagtpu_host.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library via make; returns success."""
+    if os.path.exists(LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", os.path.join(_REPO_ROOT, "native")],
+                       check=True, capture_output=True)
+        return os.path.exists(LIB_PATH)
+    except Exception as e:
+        log.warning("native build failed: %s", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(LIB_PATH) and not build():
+        return None
+    try:
+        lib = ctypes.CDLL(LIB_PATH)
+        lib.agtpu_clip_resize_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        lib.agtpu_pad_boxes.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ]
+        lib.agtpu_version.restype = ctypes.c_int
+        _lib = lib
+        return lib
+    except OSError as e:
+        log.warning("failed to load %s: %s", LIB_PATH, e)
+        return None
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def clip_resize_normalize(
+    frames_u8: np.ndarray,
+    out_size: Tuple[int, int],
+    mean: np.ndarray,
+    std: np.ndarray,
+    n_threads: int = 4,
+) -> np.ndarray:
+    """(T, H, W, 3) uint8 -> (T, outH, outW, 3) float32 normalized."""
+    frames_u8 = np.ascontiguousarray(frames_u8, np.uint8)
+    T, H, W, C = frames_u8.shape
+    assert C == 3
+    oh, ow = out_size
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+
+    lib = get_lib()
+    if lib is None:  # numpy fallback (same half-pixel bilinear geometry)
+        return _numpy_resize_normalize(frames_u8, out_size, mean, std)
+
+    out = np.empty((T, oh, ow, 3), np.float32)
+    lib.agtpu_clip_resize_normalize(
+        frames_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, H, W, _fptr(out), oh, ow, _fptr(mean), _fptr(std), n_threads)
+    return out
+
+
+def _numpy_resize_normalize(frames_u8, out_size, mean, std) -> np.ndarray:
+    T, H, W, _ = frames_u8.shape
+    oh, ow = out_size
+    fy = (np.arange(oh) + 0.5) * (H / oh) - 0.5
+    fx = (np.arange(ow) + 0.5) * (W / ow) - 0.5
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    ty = (fy - y0)[None, :, None, None]
+    tx = (fx - x0)[None, None, :, None]
+    y0c, y1c = np.clip(y0, 0, H - 1), np.clip(y0 + 1, 0, H - 1)
+    x0c, x1c = np.clip(x0, 0, W - 1), np.clip(x0 + 1, 0, W - 1)
+    f = frames_u8.astype(np.float32) / 255.0
+    top = f[:, y0c][:, :, x0c] * (1 - tx) + f[:, y0c][:, :, x1c] * tx
+    bot = f[:, y1c][:, :, x0c] * (1 - tx) + f[:, y1c][:, :, x1c] * tx
+    out = top * (1 - ty) + bot * ty
+    return ((out - mean) / std).astype(np.float32)
+
+
+def pad_boxes(boxes: np.ndarray, o_cap: int,
+              pad_value: float = -1.0) -> np.ndarray:
+    """(T, O, 4) -> (T, o_cap, 4) padded with pad_value."""
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    T, O, _ = boxes.shape
+    lib = get_lib()
+    out = np.empty((T, o_cap, 4), np.float32)
+    if lib is None:
+        out[:] = pad_value
+        out[:, :min(O, o_cap)] = boxes[:, :o_cap]
+        return out
+    lib.agtpu_pad_boxes(_fptr(boxes), T, O, _fptr(out), o_cap,
+                        ctypes.c_float(pad_value))
+    return out

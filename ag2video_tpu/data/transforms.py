@@ -95,6 +95,15 @@ def clip_transform(
     variants per resize_or_crop)."""
     rng = rng or np.random.RandomState(0)
     if resize_or_crop == "resize":
+        if no_flip or not train:
+            # Hot path: native C++ resize+normalize (ctypes, GIL released,
+            # frame-threaded); numpy fallback inside if the lib is absent.
+            from ag2video_tpu.data import native
+
+            u8 = np.stack([np.asarray(f.convert("RGB"), np.uint8)
+                           for f in frames])
+            return native.clip_resize_normalize(u8, image_size,
+                                                IMG_MEAN, IMG_STD)
         frames = group_resize(frames, image_size)
     elif resize_or_crop == "crop":
         frames = group_multi_scale_crop(frames, image_size, rng)

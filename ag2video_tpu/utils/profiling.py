@@ -1,0 +1,89 @@
+"""Profiling & timing (the reference parses --timing and never reads it,
+data/args.py:86; here it works).
+
+- `StepTimer`: rolling per-step wall-clock stats.
+- `trace(logdir)`: jax.profiler trace context for TensorBoard/Perfetto.
+- `flops_of(fn, *args)`: XLA cost-analysis FLOPs of a jitted callable.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class StepTimer:
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times = []
+        self._last: Optional[float] = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        dt = None
+        if self._last is not None:
+            dt = now - self._last
+            self.times.append(dt)
+            if len(self.times) > self.window:
+                self.times.pop(0)
+        self._last = now
+        return dt
+
+    @property
+    def mean_ms(self) -> float:
+        return float(np.mean(self.times) * 1e3) if self.times else 0.0
+
+    @property
+    def p50_ms(self) -> float:
+        return float(np.median(self.times) * 1e3) if self.times else 0.0
+
+    def stats(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        t = np.asarray(self.times) * 1e3
+        return {"step_ms_mean": float(t.mean()),
+                "step_ms_p50": float(np.median(t)),
+                "step_ms_p95": float(np.percentile(t, 95)),
+                "steps_per_sec": float(1e3 / t.mean())}
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def flops_of(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """Compiled-graph FLOPs via XLA cost analysis (None if unavailable)."""
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", None))
+    except Exception:
+        return None
+
+
+def summarize_compiled(fn: Callable, *args) -> Dict[str, Any]:
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    mem = compiled.memory_analysis()
+    out = {"flops": ca.get("flops"),
+           "bytes_accessed": ca.get("bytes accessed")}
+    if mem is not None:
+        out.update({
+            "peak_bytes": getattr(mem, "temp_size_in_bytes", None),
+            "argument_bytes": getattr(mem, "argument_size_in_bytes", None),
+        })
+    return out
