@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the framework's hot custom ops."""
+
+from ag2video_tpu.ops.pallas.rasterize_kernel import (  # noqa: F401
+    boxes_to_layout_pallas,
+)

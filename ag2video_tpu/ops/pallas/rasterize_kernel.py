@@ -1,0 +1,118 @@
+"""Fused box-rasterization Pallas kernel.
+
+The XLA path (ops/rasterize.py) materializes the (..., O, H, W) coverage
+tensor in HBM before the einsum — ~30% extra memory traffic on top of the
+(..., H, W, D) output. This kernel computes coverage ramps on the VPU
+*inside* VMEM, immediately contracts them against the object vectors on the
+MXU, and only ever writes the output tile: traffic ~= the output tensor.
+
+Grid: (N, H / BH). Per step the kernel holds one frame's boxes/vecs/mask
+(tiny) plus a (BH, W, D) output tile in VMEM.
+
+Semantics identical to `boxes_to_layout_batch` (itself oracle-tested
+against the reference's grid-sample pipeline, models/layout.py:28-130);
+parity verified in tests/test_pallas_rasterize.py and selectable via
+`boxes_to_layout_batch(..., backend='pallas')`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ag2video_tpu.ops.rasterize import TILE
+
+O_PAD = 16  # pad the object axis to a sublane multiple
+
+
+def _kernel(boxes_ref, vecs_ref, mask_ref, out_ref, *, H, W, BH, tile):
+    i = pl.program_id(1)
+
+    boxes = boxes_ref[0]            # (O_PAD, 4)  [x0, y0, w, h]
+    vecs = vecs_ref[0]              # (O_PAD, D)
+    mask = mask_ref[0]              # (O_PAD, 1)
+
+    x0 = boxes[:, 0:1]              # (O_PAD, 1)
+    y0 = boxes[:, 1:2]
+    ww = boxes[:, 2:3]
+    hh = boxes[:, 3:4]
+    safe_ww = jnp.where(ww == 0, 1.0, ww)
+    safe_hh = jnp.where(hh == 0, 1.0, hh)
+    valid = ((ww != 0) & (hh != 0) & (mask > 0)).astype(jnp.float32)
+
+    t1 = float(tile - 1)
+    ft = float(tile)
+
+    # Columns: xs = j / (W-1), j = 0..W-1  -> wx (O_PAD, W)
+    col = jax.lax.broadcasted_iota(jnp.float32, (O_PAD, W), 1) / (W - 1)
+    px = (col - x0) / safe_ww * t1
+    wx = jnp.clip(jnp.minimum(px + 1.0, ft - px), 0.0, 1.0) * valid
+
+    # Rows of this tile: ys = (i*BH + r) / (H-1), r = 0..BH-1 -> wy (O_PAD, BH)
+    row = (jax.lax.broadcasted_iota(jnp.float32, (O_PAD, BH), 1)
+           + i * BH) / (H - 1)
+    py = (row - y0) / safe_hh * t1
+    wy = jnp.clip(jnp.minimum(py + 1.0, ft - py), 0.0, 1.0)
+
+    # cov (O_PAD, BH*W) = wy ⊗ wx, then contract objects on the MXU:
+    # out (BH*W, D) = cov^T @ vecs.
+    cov = (wy[:, :, None] * wx[:, None, :]).reshape(O_PAD, BH * W)
+    out = jax.lax.dot_general(
+        cov, vecs.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.reshape(BH, W, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "block_h"))
+def boxes_to_layout_pallas(
+    vecs: jnp.ndarray,       # (N, O, D)
+    boxes: jnp.ndarray,      # (N, O, 4)
+    mask: jnp.ndarray,       # (N, O)
+    H: int,
+    W: Optional[int] = None,
+    block_h: int = 8,
+) -> jnp.ndarray:
+    """Fused rasterization: returns (N, H, W, D) in vecs.dtype."""
+    if W is None:
+        W = H
+    N, O, D = vecs.shape
+    BH = block_h
+    assert H % BH == 0, (H, BH)
+
+    # Pad objects to the sublane multiple; padded slots are masked off.
+    pad = O_PAD - O
+    assert pad >= 0, f"O={O} exceeds O_PAD={O_PAD}"
+    vecs_p = jnp.pad(vecs, ((0, 0), (0, pad), (0, 0)))
+    boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    mask_p = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, pad)))[..., None]
+
+    kernel = functools.partial(_kernel, H=H, W=W, BH=BH, tile=TILE)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, H, W, D), vecs.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(N, H // BH),
+            in_specs=[
+                pl.BlockSpec((1, O_PAD, 4), lambda n, i: (n, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, O_PAD, D), lambda n, i: (n, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, O_PAD, 1), lambda n, i: (n, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BH, W, D), lambda n, i: (n, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * O_PAD * D,
+            bytes_accessed=N * H * W * D * vecs.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(boxes_p, vecs_p, mask_p)

@@ -116,19 +116,46 @@ def boxes_to_layout_batch(
     vecs: jnp.ndarray,
     boxes: jnp.ndarray,
     H: int,
-    W: Optional[int] = None,
+    W: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Batched rasterization over arbitrary leading dims.
 
     vecs: (..., O, D); boxes: (..., O, 4); mask: (..., O).
     Returns (..., H, W, D). This replaces the reference's Python double loop
-    over (batch, frame) (generator.py:38-54) with a single fused einsum.
+    over (batch, frame) (generator.py:38-54) with a single fused op.
+
+    backend: 'xla' (coverage einsum), 'pallas' (fused VMEM kernel — no HBM
+    coverage materialization, ops/pallas/rasterize_kernel.py), or 'auto'
+    (pallas on TPU when shapes qualify, else xla).
     """
     if W is None:
         W = H
     if mask is None:
         mask = jnp.any(boxes != 0, axis=-1)
+
+    O, D = vecs.shape[-2], vecs.shape[-1]
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        qualifies = (O <= 16 and D % 128 == 0 and H % 8 == 0 and
+                     W >= 128 and W % 128 == 0)
+        backend = "pallas" if (on_tpu and qualifies) else "xla"
+
+    if backend == "pallas":
+        from ag2video_tpu.ops.pallas.rasterize_kernel import (
+            boxes_to_layout_pallas,
+        )
+
+        lead = vecs.shape[:-2]
+        n = 1
+        for s in lead:
+            n *= s
+        out = boxes_to_layout_pallas(
+            vecs.reshape(n, O, D), boxes.reshape(n, O, 4),
+            mask.reshape(n, O), H, W)
+        return out.reshape(lead + (H, W, D))
+
     cov = box_coverage(boxes, H, W, mask)  # (..., O, H, W)
     return jnp.einsum(
         "...ohw,...od->...hwd", cov, vecs.astype(jnp.float32),

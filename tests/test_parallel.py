@@ -1,0 +1,97 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The oracle-vs-parallel-implementation pattern (the one good idea in the
+reference's vendored sync_batchnorm test fixtures, SURVEY.md §4): results
+computed on a sharded batch over the mesh must equal the single-device
+computation, proving that 'SyncBN' and gradient all-reduce come for free
+under jit-over-Mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ag2video_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, jax.devices()
+    return make_mesh(data=8, model=1)
+
+
+def test_batchnorm_stats_are_global(mesh8, rng):
+    """Batch statistics over a sharded batch == statistics of the full
+    batch (the reference's SynchronizedBatchNorm contract,
+    sync_batchnorm/batchnorm.py:105-126, with zero custom code here)."""
+    import flax.linen as nn
+
+    x = rng.randn(16, 8, 8, 4).astype(np.float32)
+    bn = nn.BatchNorm(use_running_average=False)
+    vars_ = bn.init(jax.random.PRNGKey(0), x)
+
+    def fwd(v, x):
+        y, upd = bn.apply(v, x, mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    y_single, stats_single = jax.jit(fwd)(vars_, jnp.asarray(x))
+
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh8, P("data")))
+    vr = replicate(vars_, mesh8)
+    y_sharded, stats_sharded = jax.jit(fwd)(vr, xs)
+
+    np.testing.assert_allclose(np.asarray(y_single), np.asarray(y_sharded),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(stats_single),
+                    jax.tree.leaves(stats_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_gradients_allreduce_equivalence(mesh8, rng):
+    """Grads of a mean loss over a sharded batch == single-device grads
+    (the DataParallel gradient-sum contract)."""
+    import flax.linen as nn
+
+    model = nn.Dense(4)
+    x = rng.randn(16, 8).astype(np.float32)
+    y = rng.randn(16, 4).astype(np.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, x, y):
+        return jnp.mean((model.apply(v, x) - y) ** 2)
+
+    g1 = jax.jit(jax.grad(loss))(vars_, jnp.asarray(x), jnp.asarray(y))
+
+    sx = jax.device_put(jnp.asarray(x), NamedSharding(mesh8, P("data")))
+    sy = jax.device_put(jnp.asarray(y), NamedSharding(mesh8, P("data")))
+    g8 = jax.jit(jax.grad(loss))(replicate(vars_, mesh8), sx, sy)
+
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_rasterizer_sharded(mesh8, rng):
+    from ag2video_tpu.ops.rasterize import boxes_to_layout_batch
+
+    B, O, D, H = 8, 4, 8, 16
+    vecs = jnp.asarray(rng.randn(B, O, D).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.1, 0.5, (B, O, 4)).astype(np.float32))
+
+    f = jax.jit(lambda v, b: boxes_to_layout_batch(v, b, H))
+    ref = f(vecs, boxes)
+    s = NamedSharding(mesh8, P("data"))
+    out = f(jax.device_put(vecs, s), jax.device_put(boxes, s))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-5)
+
+
+def test_full_train_step_on_mesh(mesh8):
+    """The dryrun_multichip path as a unit test: one sharded G+D+graph
+    step on 8 devices, finite losses, updated params."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
