@@ -31,12 +31,21 @@ class Config:
     dataset_size: int = 1000
     grid_size: int = 512
 
-    # Optimization (reference: data/args.py:26-30)
+    # Optimization (reference: data/args.py:26-30, 144-149, 158)
     graph_only: bool = False
     batch_size: int = 3
     num_iterations: int = 1_000_000
     learning_rate: float = 1e-4
     beta1: float = 0.5
+    # LR schedule: constant for `niter` iterations then linear decay to 0
+    # over `niter_decay` iterations (reference compute_new_lr,
+    # models/utils.py:66-70, is defined-but-never-called upstream; here it
+    # works). When TTUR is on (not no_TTUR) the decayed phase halves the
+    # G lr and doubles the D lr, matching compute_new_lr's split.
+    niter: int = 0
+    niter_decay: int = 0
+    no_TTUR: bool = True
+    D_steps_per_G: int = 1
 
     # Generator options (reference: data/args.py:45-68)
     mask_size: int = 0
@@ -100,6 +109,7 @@ class Config:
     d_activation: str = "leakyrelu-0.2"
 
     # Output / checkpointing (reference: data/args.py:85-96)
+    timing: bool = False  # reference parses --timing and never reads it
     print_every: int = 10
     checkpoint_every: int = 10_000
     output_dir: str = "output/run"

@@ -1,0 +1,65 @@
+"""Rule-based layout baseline.
+
+The reference's `scripts/test_iou.py:4` imports a `RuleBasedModel` that does
+not exist anywhere in the repo (bit rot; SURVEY.md §4). This implements the
+obvious baseline the graph model must beat (the "minimum end-to-end slice"
+success criterion, SURVEY.md §7): boxes follow the action semantics
+literally — `_slide`/`_pick_place` subjects interpolate linearly from their
+seed position to (x_end, y_end) with the action clock's progress; everything
+else stays put. No learned parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from ag2video_tpu.models.layout_model import action_clock
+
+
+def rule_based_boxes(
+    objs: jnp.ndarray,       # (B, O, A) — unused, kept for API parity
+    triplets: jnp.ndarray,   # (B, F, T, 3) — frames count source
+    actions: jnp.ndarray,    # (B, A_act, 7)
+    boxes_gt: jnp.ndarray,   # (B, F, O, 4); [:, 0] seeds
+    vocab: Dict[str, Any],
+) -> jnp.ndarray:
+    """Returns (B, F, O, 4) rule-rollout boxes."""
+    B, F = triplets.shape[0], triplets.shape[1]
+    O = boxes_gt.shape[2]
+    pad_act = vocab["action_name_to_idx"]["__padding__"]
+    move_ids = [vocab["action_name_to_idx"].get("_slide", -1),
+                vocab["action_name_to_idx"].get("_pick_place", -1)]
+
+    rel, gated = action_clock(actions, F, pad_act)  # (B, F, A)
+    rel = jnp.clip(rel, 0.0, 1.0)
+    subj = actions[..., 0].astype(jnp.int32)        # (B, A)
+    x_end = actions[..., 5]
+    y_end = actions[..., 6]
+
+    seed = boxes_gt[:, 0]                           # (B, O, 4)
+
+    # For each (frame, action): weight = progress if the action moves its
+    # subject, else 0. Objects claimed by multiple actions use the max.
+    moves = jnp.zeros((len(move_ids), *gated.shape), bool)
+    for k, mid in enumerate(move_ids):
+        moves = moves.at[k].set(gated == mid)
+    is_move = jnp.any(moves, axis=0)                # (B, F, A)
+    w = jnp.where(is_move, rel, 0.0)                # (B, F, A)
+
+    # Scatter per-action progress/targets onto subjects via one-hot.
+    onehot = jnp.eye(O)[subj]                       # (B, A, O)
+    prog = jnp.einsum("bfa,bao->bfo", w, onehot)    # (B, F, O)
+    prog = jnp.clip(prog, 0.0, 1.0)
+    tx = jnp.einsum("bfa,bao->bfo", w * x_end[:, None, :], onehot)
+    ty = jnp.einsum("bfa,bao->bfo", w * y_end[:, None, :], onehot)
+    # Normalize targets where progress > 0 (weighted by the same w).
+    tx = jnp.where(prog > 0, tx / jnp.where(prog > 0, prog, 1.0), 0.0)
+    ty = jnp.where(prog > 0, ty / jnp.where(prog > 0, prog, 1.0), 0.0)
+
+    x = seed[:, None, :, 0] * (1 - prog) + tx * prog
+    y = seed[:, None, :, 1] * (1 - prog) + ty * prog
+    wh = jnp.broadcast_to(seed[:, None, :, 2:], (B, F, O, 2))
+    return jnp.concatenate(
+        [x[..., None], y[..., None], wh], axis=-1)

@@ -34,11 +34,31 @@ def _gen_mask(params) -> Any:
     return {k: (k != GRAPH_KEY) for k in params}
 
 
+def _lr_schedule(cfg: Config, scale_decayed: float = 1.0):
+    """Constant, then (optionally) linear decay to zero over niter_decay
+    steps; `scale_decayed` applies the TTUR G/D split during decay."""
+    base = cfg.learning_rate
+    if cfg.niter_decay <= 0:
+        return base
+
+    def sched(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip((step - cfg.niter) / max(cfg.niter_decay, 1), 0.0, 1.0)
+        lr = base * (1.0 - frac)
+        scale = jnp.where(frac > 0, scale_decayed, 1.0)
+        return lr * scale
+
+    return sched
+
+
 def make_optimizers(cfg: Config, params):
-    adam = lambda: optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=0.999)
+    ttur = not cfg.no_TTUR
+    adam = lambda scale=1.0: optax.adam(
+        _lr_schedule(cfg, scale), b1=cfg.beta1, b2=0.999)
     opt_graph = optax.masked(adam(), _graph_mask(params))
-    opt_gen = optax.masked(adam(), _gen_mask(params))
-    opt_d = adam()
+    opt_gen = optax.masked(adam(0.5 if ttur else 1.0), _gen_mask(params))
+    opt_d = adam(2.0 if ttur else 1.0)
     return opt_graph, opt_gen, opt_d
 
 

@@ -129,12 +129,12 @@ class Trainer:
             metrics.update({f"G/{k}": v for k, v in g_losses.items()})
 
             # ---------------- D step (reference train.py:461-464) ----------
-            def d_loss_fn(d_params):
+            def d_loss_fn(d_params, d_state):
                 got = {"out": None}
 
                 def d_apply(img, objs, boxes, actions_data):
                     feats, new_dstate = disc.apply(
-                        {"params": d_params, **state.d_state},
+                        {"params": d_params, **d_state},
                         img, objs, boxes, actions_data, train=True,
                         mutable=["spectral"])
                     got["out"] = new_dstate
@@ -144,16 +144,22 @@ class Trainer:
                     cfg, batch, model_out, d_apply)
                 return losses["total_img_loss"], (losses, got["out"])
 
-            (d_total, (d_losses, new_dstate)), d_grads = (
-                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
-
-            d_ok = jnp.isfinite(d_total)
-            d_updates, new_d_opt = opt_d.update(
-                d_grads, state.opt_d_state, state.d_params)
-            new_d_params = optax.apply_updates(state.d_params, d_updates)
-            new_d_params = _tree_select(d_ok, new_d_params, state.d_params)
-            new_d_opt = _tree_select(d_ok, new_d_opt, state.opt_d_state)
-            new_dstate = _tree_select(d_ok, new_dstate, state.d_state)
+            # D_steps_per_G (reference data/args.py:148; default 1).
+            new_d_params = state.d_params
+            new_d_opt = state.opt_d_state
+            new_dstate = state.d_state
+            d_ok = jnp.asarray(True)
+            for _ in range(max(cfg.D_steps_per_G, 1)):
+                (d_total, (d_losses, new_dstate_i)), d_grads = (
+                    jax.value_and_grad(d_loss_fn, has_aux=True)(
+                        new_d_params, new_dstate))
+                d_ok = d_ok & jnp.isfinite(d_total)
+                d_updates, new_d_opt_i = opt_d.update(
+                    d_grads, new_d_opt, new_d_params)
+                new_d_params_i = optax.apply_updates(new_d_params, d_updates)
+                new_d_params = _tree_select(d_ok, new_d_params_i, new_d_params)
+                new_d_opt = _tree_select(d_ok, new_d_opt_i, new_d_opt)
+                new_dstate = _tree_select(d_ok, new_dstate_i, new_dstate)
 
             metrics.update({f"D/{k}": v for k, v in d_losses.items()})
             skipped = state.skipped_nan + jnp.where(g_ok & d_ok, 0, 1)
@@ -236,16 +242,25 @@ class Trainer:
         return self._eval_forward(self.state, b, use_gt)
 
     # ------------------------------------------------------------------
-    def check_model(self, loader, use_gt: bool, max_samples: Optional[int] = None):
+    def check_model(self, loader, use_gt: bool,
+                    max_samples: Optional[int] = None,
+                    inception_score=None):
         """Validation pass (reference check_model, train.py:136-252).
-        Returns (mean_losses, samples dict for visualization)."""
+        Returns (mean_losses, samples dict for visualization). Pass an
+        `eval.inception.InceptionScore` to also report IS over the
+        generated frames (reference train.py:175, 247)."""
         max_samples = max_samples or self.cfg.num_val_samples
         tot = np.zeros(4)
         samples = {}
         n_seen = 0
+        if inception_score is not None:
+            inception_score.clean()
         for batch in loader.epoch(0):
             imgs_pred, boxes_pred, stats = self.eval_batch(batch, use_gt)
             tot += np.array([float(s) for s in stats])
+            if inception_score is not None:
+                flat = jnp.reshape(imgs_pred, (-1,) + imgs_pred.shape[2:])
+                inception_score(flat)
             if not samples:
                 samples = {
                     "video_id": batch.video_ids,
@@ -263,6 +278,12 @@ class Trainer:
             "total_iou_05": tot[1] / denom,
             "total_iou_03": tot[2] / denom,
         }
+        if inception_score is not None:
+            m, s = inception_score.compute_score(splits=5)
+            tag = "inception" if not inception_score.random_init \
+                else "inception_randomnet"
+            mean_losses[f"{tag}_mean"] = m
+            mean_losses[f"{tag}_std"] = s
         return mean_losses, samples
 
     # ------------------------------------------------------------------
@@ -284,12 +305,16 @@ class Trainer:
         log_every: Optional[int] = None,
         checkpoint_every: Optional[int] = None,
         metrics_writer=None,
+        timing: bool = False,
     ):
         """The reference main loop (train.py:398-513), host side."""
+        from ag2video_tpu.utils.profiling import StepTimer
+
         cfg = self.cfg
         num_iterations = num_iterations or cfg.num_iterations
         log_every = log_every or cfg.print_every
         checkpoint_every = checkpoint_every or cfg.checkpoint_every
+        timer = StepTimer() if timing else None
 
         train_iter = train_loader.forever() if not cfg.graph_only else None
         graph_iter = graph_loader.forever()
@@ -311,9 +336,13 @@ class Trainer:
                 last.update(self.train_step(next(train_iter)))
             last.update(self.graph_step(next(graph_iter)))
             t = int(self.state.step) if not cfg.graph_only else t + 1
+            if timer is not None:
+                timer.tick()
 
             if t % log_every == 0:
                 vals = {k: float(v) for k, v in last.items()}
+                if timer is not None:
+                    vals.update(timer.stats())
                 rate = t / max(time.time() - t0, 1e-9)
                 log.info("t=%d/%d (%.2f it/s) %s", t, num_iterations, rate,
                          {k: round(v, 4) for k, v in vals.items()})

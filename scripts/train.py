@@ -115,7 +115,7 @@ def main(argv=None):
         cfg.save_run_args(cfg.output_dir, vocab)
 
     trainer.fit(train_loader, graph_loader, val_loader,
-                metrics_writer=writer)
+                metrics_writer=writer, timing=cfg.timing)
 
 
 if __name__ == "__main__":

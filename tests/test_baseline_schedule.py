@@ -1,0 +1,69 @@
+"""Rule-based layout baseline + LR schedule tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.models.rule_baseline import rule_based_boxes
+from ag2video_tpu.ops.metrics import iou_xywh
+from ag2video_tpu.train.state import _lr_schedule
+from ag2video_tpu.vocab import get_vocab
+
+
+def test_rule_baseline_static_without_actions(rng):
+    v = get_vocab("synthetic")
+    B, F, O = 2, 4, 3
+    pad = float(v["action_name_to_idx"]["__padding__"])
+    actions = np.zeros((B, 1, 7), np.float32)
+    actions[:, :, 1] = pad
+    boxes = rng.uniform(0.1, 0.5, (B, F, O, 4)).astype(np.float32)
+    triplets = np.zeros((B, F, 2, 3), np.int64)
+    out = np.asarray(rule_based_boxes(
+        jnp.zeros((B, O, 3), jnp.int32), jnp.asarray(triplets),
+        jnp.asarray(actions), jnp.asarray(boxes), v))
+    # No active actions -> every frame equals the seed.
+    for t in range(F):
+        np.testing.assert_allclose(out[:, t], boxes[:, 0], atol=1e-6)
+
+
+def test_rule_baseline_tracks_slide():
+    """On the synthetic dataset the rule baseline should track _slide
+    boxes almost exactly (the dataset implements the same semantics)."""
+    from ag2video_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(partition="val", image_size=(16, 16),
+                          frames_per_action=8, dataset_size=4,
+                          number_of_objects=3)
+    v = ds.vocab
+    vids, objs, boxes, triplets, actions, _ = ds[1]
+    B = 1
+    out = np.asarray(rule_based_boxes(
+        jnp.asarray(np.stack([objs["shape"], objs["color"], objs["size"]],
+                             -1)[None]),
+        jnp.asarray(triplets[None]),
+        jnp.asarray(actions[None]),
+        jnp.asarray(boxes[None]), v))
+    iou = np.asarray(iou_xywh(jnp.asarray(out[0, 1:, :-1]),
+                              jnp.asarray(boxes[1:, :-1])))
+    assert np.mean(iou) > 0.8, np.mean(iou)
+
+
+def test_lr_schedule_decay():
+    cfg = Config(learning_rate=1e-3, niter=100, niter_decay=100,
+                 no_TTUR=True)
+    sched = _lr_schedule(cfg)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    assert abs(float(sched(100)) - 1e-3) < 1e-9
+    assert abs(float(sched(150)) - 5e-4) < 1e-8
+    assert float(sched(200)) == 0.0
+
+    # TTUR split applies only in the decayed phase.
+    g = _lr_schedule(cfg, 0.5)
+    d = _lr_schedule(cfg, 2.0)
+    assert abs(float(g(150)) - 2.5e-4) < 1e-8
+    assert abs(float(d(150)) - 1e-3) < 1e-8
+    assert abs(float(g(50)) - 1e-3) < 1e-9  # pre-decay: base lr
+
+    # niter_decay=0 -> constant float lr.
+    assert _lr_schedule(Config(learning_rate=2e-4)) == 2e-4
