@@ -15,6 +15,18 @@ import jax.numpy as jnp
 VGG_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
+def kld_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """VAE KL divergence (reference KLDLoss, loss.py:122-124)."""
+    return -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar))
+
+
+def masked_l1_loss(x: jnp.ndarray, target: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """L1 over masked pixels (reference MaskedL1Loss, loss.py:127-135 —
+    which averages over ALL elements, masked included; preserved)."""
+    return jnp.mean(jnp.abs(x * mask - target * mask))
+
+
 def vgg_loss(
     vgg_features: Callable[[jnp.ndarray], List[jnp.ndarray]],
     x: jnp.ndarray,

@@ -15,6 +15,25 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class SoftAttributeEmbedding(nn.Module):
+    """Soft one-hot embedding: x (..., K) weights over K classes ->
+    weight-averaged embedding (reference AttributeEmbedding,
+    attribute_embed.py:5-13: matmul with the table, normalized by the
+    weight sum)."""
+
+    num_embeddings: int
+    embedding_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding", nn.initializers.normal(1.0),
+            (self.num_embeddings, self.embedding_dim))
+        emb = jnp.einsum("...k,kd->...d", x, table.astype(x.dtype))
+        return emb / jnp.sum(x, axis=-1, keepdims=True)
+
+
 class AttributeEmbeddings(nn.Module):
     """objs (..., O, A) integer attribute ids -> (..., O, A * embedding_dim).
 

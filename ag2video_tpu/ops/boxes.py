@@ -43,6 +43,13 @@ def apply_box_transform(anchors: jnp.ndarray, transforms: jnp.ndarray) -> jnp.nd
     )
 
 
+def remove_small_boxes_mask(boxes: jnp.ndarray,
+                            min_size: float = 0.0) -> jnp.ndarray:
+    """Mask of boxes with both extents > min_size (reference
+    models/utils.py:54-63, returned as a mask instead of indices)."""
+    return (boxes[..., 2] > min_size) & (boxes[..., 3] > min_size)
+
+
 def invert_box_transform(anchors: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     """Deltas that map anchors -> boxes, both [xc, yc, w, h]
     (reference: models/box_utils.py:55-80)."""
