@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ag2video_tpu.models.embeddings import AttributeEmbeddings
@@ -140,6 +141,8 @@ class Layout2VidGenerator(nn.Module):
     n_downsample_F: int = 3
     flow_multiplier: float = 20.0
     flow_deconv: bool = False
+    remat: bool = True  # rematerialize the frame step (HBM-bound model;
+    # saving only matmul outputs cuts activation traffic and peak memory)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -190,15 +193,21 @@ class Layout2VidGenerator(nn.Module):
             flow_deconv=self.flow_deconv, train=train, dtype=self.dtype,
         )
 
+        step_cls = _FrameStep
+        if self.remat:
+            step_cls = nn.remat(
+                _FrameStep,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+
         if teacher_forced:
             # All frames at once: previous frames come from GT
             # (reference generator.py:71), so fold time into batch.
             prev_win = jnp.concatenate(
                 [imgs_gt[:, i:i + n_gen] for i in range(ncond)], axis=-1
             )  # (B, n_gen, H, W, ncond*3)
-            Dw = seg_win.shape[-1]
             fold = lambda a: a.reshape((B * n_gen,) + a.shape[2:])
-            _, (img, flow, conf) = _FrameStep(
+            _, (img, flow, conf) = step_cls(
                 **step_kwargs, name="frame_step"
             )(fold(prev_win), fold(seg_win))
             unfold = lambda a: a.reshape((B, n_gen) + a.shape[1:])
@@ -210,7 +219,7 @@ class Layout2VidGenerator(nn.Module):
             )  # (B, H, W, ncond*3)
             xs = jnp.moveaxis(seg_win, 1, 0)  # (n_gen, B, H, W, ...)
             scan_step = nn.scan(
-                _FrameStep,
+                step_cls,
                 variable_broadcast=["params", "batch_stats", "spectral"],
                 split_rngs={"params": False},
                 in_axes=0,

@@ -65,6 +65,7 @@ class AG2VideoModel(nn.Module):
             n_downsample_F=cfg.n_downsample_F,
             flow_multiplier=cfg.flow_multiplier,
             flow_deconv=cfg.flow_deconv,
+            remat=cfg.remat_generator,
             dtype=dtype,
         )
 

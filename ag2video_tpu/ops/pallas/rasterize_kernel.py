@@ -49,13 +49,14 @@ def _kernel(boxes_ref, vecs_ref, mask_ref, out_ref, *, H, W, BH, tile):
     ft = float(tile)
 
     # Columns: xs = j / (W-1), j = 0..W-1  -> wx (O_PAD, W)
-    col = jax.lax.broadcasted_iota(jnp.float32, (O_PAD, W), 1) / (W - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (O_PAD, W), 1).astype(
+        jnp.float32) / (W - 1)
     px = (col - x0) / safe_ww * t1
     wx = jnp.clip(jnp.minimum(px + 1.0, ft - px), 0.0, 1.0) * valid
 
     # Rows of this tile: ys = (i*BH + r) / (H-1), r = 0..BH-1 -> wy (O_PAD, BH)
-    row = (jax.lax.broadcasted_iota(jnp.float32, (O_PAD, BH), 1)
-           + i * BH) / (H - 1)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (O_PAD, BH), 1).astype(
+        jnp.float32) + i * BH) / (H - 1)
     py = (row - y0) / safe_hh * t1
     wy = jnp.clip(jnp.minimum(py + 1.0, ft - py), 0.0, 1.0)
 
@@ -70,7 +71,7 @@ def _kernel(boxes_ref, vecs_ref, mask_ref, out_ref, *, H, W, BH, tile):
     out_ref[0] = out.reshape(BH, W, -1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "block_h"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def boxes_to_layout_pallas(
     vecs: jnp.ndarray,       # (N, O, D)
     boxes: jnp.ndarray,      # (N, O, 4)
@@ -79,7 +80,16 @@ def boxes_to_layout_pallas(
     W: Optional[int] = None,
     block_h: int = 8,
 ) -> jnp.ndarray:
-    """Fused rasterization: returns (N, H, W, D) in vecs.dtype."""
+    """Fused rasterization: returns (N, H, W, D) in vecs.dtype.
+
+    Differentiable: forward runs the Pallas kernel; the backward pass (see
+    defvjp below) is the VJP of the mathematically identical XLA
+    closed-form, computed without materializing the forward's coverage.
+    """
+    return _forward_impl(vecs, boxes, mask, H, W, block_h)
+
+
+def _forward_impl(vecs, boxes, mask, H, W, block_h):
     if W is None:
         W = H
     N, O, D = vecs.shape
@@ -116,3 +126,25 @@ def boxes_to_layout_pallas(
             transcendentals=0,
         ),
     )(boxes_p, vecs_p, mask_p)
+
+
+def _fwd(vecs, boxes, mask, H, W, block_h):
+    out = _forward_impl(vecs, boxes, mask, H, W, block_h)
+    return out, (vecs, boxes, mask)
+
+
+def _bwd(H, W, block_h, residuals, g):
+    """VJP via the XLA closed-form path (identical math, no kernel)."""
+    from ag2video_tpu.ops.rasterize import boxes_to_layout_batch
+
+    vecs, boxes, mask = residuals
+
+    def ref(v, b):
+        return boxes_to_layout_batch(v, b, H, W, mask=mask, backend="xla")
+
+    _, vjp = jax.vjp(ref, vecs, boxes)
+    dvecs, dboxes = vjp(g)
+    return dvecs, dboxes, jnp.zeros_like(mask)
+
+
+boxes_to_layout_pallas.defvjp(_fwd, _bwd)

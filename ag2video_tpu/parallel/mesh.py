@@ -38,10 +38,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place every array in a batch pytree with its batch axis sharded."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+def shard_batch(batch: Any, mesh: Mesh, spatial: bool = False) -> Any:
+    """Place a batch pytree with its batch axis sharded over 'data'.
+
+    spatial=True additionally shards the frame *height* axis of video
+    tensors ((B, T, H, W, C), ndim == 5) over the 'model' axis — GSPMD then
+    spatially partitions every conv in the generator/discriminator (halo
+    exchanges over ICI), the scale-out path for resolutions whose
+    activations exceed one chip's HBM. No reference analog (its ceiling is
+    single-process DataParallel).
+    """
+    s_batch = batch_sharding(mesh)
+    s_video = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+
+    def place(x):
+        if spatial and hasattr(x, "ndim") and x.ndim == 5:
+            return jax.device_put(x, s_video)
+        return jax.device_put(x, s_batch)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

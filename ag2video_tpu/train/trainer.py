@@ -73,7 +73,8 @@ class Trainer:
     def _place(self, b: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         if self.mesh is not None:
             from ag2video_tpu.parallel import shard_batch
-            return shard_batch(b, self.mesh)
+            spatial = self.cfg.mesh_model > 1
+            return shard_batch(b, self.mesh, spatial=spatial)
         return b
 
     # ------------------------------------------------------------------

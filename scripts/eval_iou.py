@@ -1,0 +1,85 @@
+"""Layout-quality evaluation: graph model vs the rule-based baseline.
+
+The working version of the reference's broken `scripts/test_iou.py` (which
+imports a nonexistent RuleBasedModel). Loads a checkpoint, rolls out boxes
+from frame-0 seeds on the val/test split, and reports avg IoU / IoU@0.3 /
+IoU@0.5 for both the learned graph model and the rule baseline.
+
+    python -m scripts.eval_iou --checkpoint output/run1 [--partition val]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("eval_iou")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--partition", default="val", choices=["val", "test"])
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=4)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.inference.generate import GenerationSession
+    from ag2video_tpu.models.rule_baseline import rule_based_boxes
+    from ag2video_tpu.ops.metrics import iou_stats
+
+    import os
+
+    run_dir = args.checkpoint
+    if not os.path.exists(os.path.join(run_dir, "run_args.json")):
+        run_dir = os.path.dirname(args.checkpoint)
+    sess = GenerationSession(run_dir, checkpoint=args.checkpoint,
+                             overrides={"batch_size": args.batch_size})
+    ds = get_dataset(sess.cfg.dataset, args.partition, sess.cfg)
+    loader = Loader(ds, sess.cfg, batch_size=args.batch_size, shuffle=False,
+                    drop_last=False)
+
+    totals = {"model": np.zeros(4), "rule": np.zeros(4)}
+    n = 0
+    loaded = False
+    for batch in loader.epoch(0):
+        if not loaded:
+            sess.load(batch)
+            loaded = True
+        _, boxes_pred = sess.generate(batch)
+        boxes_pred = np.clip(boxes_pred, 0.0, 1.0)
+        rule_pred = np.asarray(rule_based_boxes(
+            jnp.asarray(batch.objs), jnp.asarray(batch.triplets),
+            jnp.asarray(batch.actions), jnp.asarray(batch.boxes),
+            sess.vocab))
+
+        mask = (batch.objs[..., 0] != 0)[:, None, :]
+        mask = np.broadcast_to(mask, batch.boxes[:, 1:].shape[:-1])
+        for name, pred in (("model", boxes_pred), ("rule", rule_pred)):
+            stats = iou_stats(jnp.asarray(pred[:, 1:]),
+                              jnp.asarray(batch.boxes[:, 1:]),
+                              jnp.asarray(mask))
+            totals[name] += np.array([float(s) for s in stats])
+        n += batch.imgs.shape[0]
+        if n >= args.num_samples:
+            break
+
+    result = {}
+    for name, t in totals.items():
+        d = max(t[3], 1.0)
+        result[name] = {"avg_iou": t[0] / d, "iou@0.5": t[1] / d,
+                        "iou@0.3": t[2] / d}
+    result["n_videos"] = n
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Programmatic action API tests + run_args vocab round-trip."""
+
+import numpy as np
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.inference import actions as A
+from ag2video_tpu.vocab import get_vocab
+
+
+def test_single_and_compose():
+    a = A.single(1, 2, t2=1.01)
+    assert a.shape == (1, 7)
+    b = A.compose(a, A.single(2, 3, x_end=0.4, y_end=0.6))
+    assert b.shape == (2, 7)
+    np.testing.assert_allclose(b[1, 5:], [0.4, 0.6])
+
+
+def test_converge_family():
+    c = A.converge(5, action_idx=3)
+    assert c.shape == (4, 7)
+    assert np.all(c[:, 1] == 3) and np.all(c[:, 2] == 0)
+    # Staggered starts within [0, 1).
+    assert np.all(np.diff(c[:, 3]) > 0)
+    cb = A.converge_before(5, 3)
+    ca = A.converge_after(5, 3)
+    assert np.all(cb[:, 3] <= 0) and np.all(ca[:, 3] < -0.9)
+
+
+def test_swap_targets():
+    boxes0 = np.array([[0.1, 0.2, 0.1, 0.1], [0.6, 0.7, 0.1, 0.1],
+                       [0.3, 0.3, 0.1, 0.1]], np.float32)
+    s = A.swap(boxes0, 0, 1, action_idx_1=5, action_idx_2=2)
+    np.testing.assert_allclose(s[0, 5:], boxes0[1, :2])  # obj0 -> obj1's pos
+    np.testing.assert_allclose(s[1, 5:], boxes0[0, :2])
+
+
+def test_timing_shifts_and_horizon():
+    a = A.single(1, 2)
+    before = A.shift_before(a)
+    after = A.shift_after(a)
+    assert before[0, 3] == 0 and before[0, 4] == 3.0
+    assert after[0, 3] == -2.0 and after[0, 4] == 1.0
+    ext = A.extend_horizon(a, 3.0)
+    assert abs(ext[0, 4] - a[0, 4] * 3) < 1e-6
+
+
+def test_cater_execute_set_builders(rng):
+    v = get_vocab("cater")
+    specs = A.cater_execute_set(v)
+    assert [s["action_name"] for s in specs] == ["converge", "swap"]
+    objs = np.zeros((1, 5, 4))
+    boxes = rng.uniform(0.1, 0.5, (1, 3, 5, 4)).astype(np.float32)
+    for s in specs:
+        out = s["action_func"](objs, None, boxes)
+        assert out.ndim == 2 and out.shape[1] == 7
+
+
+def test_run_args_vocab_roundtrip(tmp_path):
+    """JSON stringifies int keys; load_run_args must restore them."""
+    v = get_vocab("cater")
+    cfg = Config(dataset="cater").derive(v)
+    cfg.save_run_args(str(tmp_path), v)
+    cfg2, v2 = Config.load_run_args(str(tmp_path))
+    assert v2["action_idx_to_name"][2] == "_slide"
+    assert v2["pred_idx_to_name"][0] == "__in_image__"
+    assert v2["reverse_attributes"]["shape"][1] == "cube"
+    assert cfg2.semantic_nc == cfg.semantic_nc

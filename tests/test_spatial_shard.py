@@ -1,0 +1,50 @@
+"""Spatial (model-axis) sharding: a 2x4 mesh train step must agree with
+the 8x1 pure-data-parallel step — GSPMD handles the conv halos."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.registry import Loader, get_dataset
+from ag2video_tpu.parallel import make_mesh
+from ag2video_tpu.train.trainer import Trainer
+from ag2video_tpu.vocab import get_vocab
+
+
+def tiny_cfg(mesh_model):
+    vocab = get_vocab("synthetic")
+    cfg = Config(
+        dataset="synthetic", image_size=(32, 32), batch_size=2,
+        frames_per_action=2, frames_per_action_graph=1,
+        embedding_dim=16, gconv_dim=16, gconv_hidden_dim=32,
+        gconv_num_layers=2, ngf=4, nff=4, n_blocks_F=1, n_downsample_F=2,
+        num_D=2, n_layers_D=2, dataset_size=8, number_of_objects=3,
+        max_objects=5, max_triplets=6, max_actions=2,
+        compute_dtype="float32", no_vgg_loss=True, output_dir="",
+        mesh_model=mesh_model,
+    ).derive(vocab)
+    return cfg, vocab
+
+
+@pytest.mark.slow
+def test_spatial_vs_data_parallel_agree():
+    assert len(jax.devices()) >= 8
+
+    results = {}
+    for data, model in ((2, 1), (2, 4)):
+        cfg, vocab = tiny_cfg(model)
+        mesh = make_mesh(data=data, model=model,
+                         devices=jax.devices()[:data * model])
+        ds = get_dataset("synthetic", "train", cfg)
+        loader = Loader(ds, cfg, shuffle=False)
+        tr = Trainer(cfg, vocab, mesh=mesh)
+        b0 = next(loader.epoch(0))
+        tr.init(b0)
+        m = tr.train_step(b0)
+        results[(data, model)] = {k: float(v) for k, v in m.items()}
+
+    a, b = results[(2, 1)], results[(2, 4)]
+    for k in a:
+        assert np.isclose(a[k], b[k], rtol=2e-3, atol=1e-4), (k, a[k], b[k])
