@@ -151,6 +151,12 @@ class Config:
     # throughput favors batch 2 without remat (3.98 vs 3.79 samples/s), so
     # the default is off — enable for larger batches/resolutions.
     remat_generator: bool = False
+    # Width of the generator's conditioning map (the conv_dim_in output that
+    # feeds SPADE as both input and segmap). 0 = semantic_nc (reference
+    # behavior: 512 for CATER — data/args.py:207). The training step is
+    # HBM-bound and this map dominates traffic; 128 is the measured
+    # fast mode (see DESIGN.md).
+    generator_cond_nc: int = 0
     # Mesh axis sizes. data axis shards the batch; model axis (optional)
     # shards generator channels/spatial dims for large resolutions.
     mesh_data: int = 1

@@ -54,7 +54,7 @@ class AG2VideoModel(nn.Module):
             vocab=self.vocab,
             gconv_dim=cfg.gconv_dim,
             n_frames_G=cfg.n_frames_G,
-            semantic_nc=cfg.semantic_nc,
+            semantic_nc=cfg.generator_cond_nc or cfg.semantic_nc,
             ngf=cfg.ngf,
             norm_G=cfg.norm_G,
             norm_F=cfg.norm_F,
