@@ -188,6 +188,12 @@ class Trainer:
                 losses = compute_graph_loss(cfg, batch, out["boxes_pred"])
                 return losses["total_loss"], losses
 
+            if cfg.freeze_graph:
+                # --freeze_graph: graph loss still reported, no update
+                # (reference freeze_weights, train.py:60-64, 386-387).
+                _, losses = loss_fn(state.params)
+                return state, {f"Graph/{k}": v for k, v in losses.items()}
+
             (total, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             ok = jnp.isfinite(total)

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_data", type=int, default=0)
     p.add_argument("--cache_workers", type=int, default=1)
     p.add_argument("--cache_worker_id", type=int, default=0)
+    # NaN debugging escape hatch (SURVEY.md §5: the TPU-native analog of
+    # the reference's NaN batch skip, for diagnosis rather than recovery).
+    p.add_argument("--debug_nans", type=int, default=0)
     return p
 
 
@@ -67,6 +70,9 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     cfg = Config.from_dict(vars(args))
+
+    if getattr(args, "debug_nans", 0):
+        jax.config.update("jax_debug_nans", True)
 
     train_ds = get_dataset(cfg.dataset, "train", cfg)
 

@@ -1,0 +1,108 @@
+"""freeze_graph behavior, transform variants, dataset from_config env paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data import get_dataset
+from ag2video_tpu.data.registry import Loader
+from ag2video_tpu.data.transforms import (
+    clip_transform,
+    group_flip,
+    group_multi_scale_crop,
+    to_normalized_array,
+)
+from ag2video_tpu.train.trainer import Trainer
+from ag2video_tpu.vocab import get_vocab
+from tests.test_train import tiny_config
+
+
+def test_freeze_graph_blocks_updates():
+    cfg, vocab = tiny_config(freeze_graph=True)
+    ds = get_dataset("synthetic", "train_graph", cfg)
+    loader = Loader(ds, cfg, shuffle=False)
+    tr = Trainer(cfg, vocab)
+    b = next(loader.epoch(0))
+    tr.init(b)
+    before = jax.device_get(tr.state.params["acts_to_boxes"])
+    m = tr.graph_step(b)
+    assert "Graph/total_loss" in m  # loss still reported
+    after = jax.device_get(tr.state.params["acts_to_boxes"])
+    for a, c in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, c)
+
+
+def _frames(rng, n=3, h=24, w=32):
+    from PIL import Image
+
+    return [Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+            for _ in range(n)]
+
+
+def test_group_flip(rng):
+    frames = _frames(rng)
+    flipped = group_flip(frames, True)
+    a = np.asarray(frames[0])
+    b = np.asarray(flipped[0])
+    np.testing.assert_array_equal(a[:, ::-1], b)
+    same = group_flip(frames, False)
+    np.testing.assert_array_equal(np.asarray(same[1]), np.asarray(frames[1]))
+
+
+def test_multi_scale_crop_consistent_across_frames(rng):
+    frames = _frames(rng, n=4, h=48, w=48)
+    out = group_multi_scale_crop(frames, (16, 16),
+                                 np.random.RandomState(3))
+    assert all(f.size == (16, 16) for f in out)
+    # Same crop applied to identical frames -> identical outputs.
+    same = [frames[0]] * 3
+    out2 = group_multi_scale_crop(same, (16, 16), np.random.RandomState(3))
+    np.testing.assert_array_equal(np.asarray(out2[0]), np.asarray(out2[2]))
+
+
+def test_clip_transform_crop_and_flip_paths(rng):
+    frames = _frames(rng, n=2, h=40, w=40)
+    out = clip_transform(frames, (16, 16), resize_or_crop="crop",
+                         train=True, no_flip=False,
+                         rng=np.random.RandomState(0))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(out).all()
+
+    norm = to_normalized_array(frames)
+    assert norm.shape == (2, 40, 40, 3)
+
+
+def test_cater_from_config_env_paths(tmp_path, monkeypatch, rng):
+    """from_config resolves CATER_DATA_ROOT/CATER_SPLITS_DIR."""
+    from tests.test_datasets import make_cater_scene
+    import json
+    from PIL import Image
+
+    root = tmp_path / "cater"
+    (root / "videos").mkdir(parents=True)
+    (root / "scenes").mkdir()
+    name = "CATER_new_000001"
+    with open(root / "scenes" / f"{name}.json", "w") as f:
+        json.dump(make_cater_scene(n_objects=2, n_frames=30, rng=rng), f)
+    cache = root / "videos" / name
+    cache.mkdir()
+    for t in range(30):
+        Image.fromarray(rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+                        ).save(cache / f"{t:05}.png")
+    (root / "videos" / f"{name}.avi").touch()
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    (splits / "val_split.txt").write_text(f"{name}.avi 1\n")
+
+    monkeypatch.setenv("CATER_DATA_ROOT", str(root))
+    monkeypatch.setenv("CATER_SPLITS_DIR", str(splits))
+    cfg = Config(dataset="cater", image_size=(16, 16), frames_per_action=4)
+    ds = get_dataset("cater", "val", cfg)
+    assert len(ds) == 1
+    # val partition uses 16*3 window > 30 frames available; the sample may
+    # fail windowing, but construction/path resolution must work.
+    assert ds.frames_per_action == 16
