@@ -339,6 +339,14 @@ class Trainer:
                         if metrics_writer:
                             metrics_writer.write(t, {f"{tag}/{k}": v
                                                      for k, v in m.items()})
+                        # Per-checkpoint video artifacts (reference
+                        # save_images, train.py:415, 422).
+                        try:
+                            from ag2video_tpu.utils.vis import save_images
+                            save_images(cfg.output_dir, t, samples,
+                                        dir_name="gt_val" if use_gt else "val")
+                        except Exception as e:  # vis is best-effort
+                            log.warning("save_images failed: %s", e)
             if not cfg.graph_only:
                 last.update(self.train_step(next(train_iter)))
             last.update(self.graph_step(next(graph_iter)))
