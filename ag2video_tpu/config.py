@@ -157,6 +157,10 @@ class Config:
     # HBM-bound and this map dominates traffic; 128 is the measured
     # fast mode (see DESIGN.md).
     generator_cond_nc: int = 0
+    # Object-basis frontend convs (models/factorized.py): exploit the
+    # rank-O structure of the rasterized layout in the generator's two
+    # frontend convs. Math-identical to the dense path; large compute cut.
+    factorized_frontend: bool = True
     # Mesh axis sizes. data axis shards the batch; model axis (optional)
     # shards generator channels/spatial dims for large resolutions.
     mesh_data: int = 1

@@ -1,0 +1,163 @@
+"""Low-rank ("object-basis") convolution over rasterized layouts.
+
+The rasterized layout `seg = sum_o coverage_o (x) vecs_o` has rank <= O
+(one rank-1 term per object), but the generator's frontend convs —
+`conv_dim_in` (1027 -> 512 at full resolution, ~620 GFLOP/frame at 256^2)
+and the flow network's first conv — treat it as a dense 512-channel-per-
+frame tensor. Exploiting linearity of convolution:
+
+    conv(seg, K)[y, x, f]
+      = sum_o sum_{dy,dx} cov_o[y+dy, x+dx] * (K[dy, dx, :, f] . vecs_o)
+
+i.e. project the kernel through each object's vector (tiny einsum), then
+contract the 9 spatial shifts of the O coverage maps — a (H*W, 9*O) x
+(9*O, F) MXU matmul instead of a (H*W, 9*C) x (9*C, F) one: a C/O ~ 40x
+compute cut for CATER shapes, and the dense seg tensor never exists.
+
+`FactorizedNormConv` mirrors NormConv semantics (spectral-normalized
+kernel + affine-free/affine subnorm, reference normalization.py:16-50)
+with one kernel parameter of the SAME shape as the dense layer; the dense
+and factorized computations agree to float tolerance
+(tests/test_factorized.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def spectral_normalize(kernel: jnp.ndarray, u: jnp.ndarray,
+                       n_steps: int = 1, eps: float = 1e-12):
+    """Power-iteration spectral normalization of a conv/dense kernel.
+
+    kernel: (..., C_out) reshaped to (K, C_out); u: (C_out,).
+    Returns (kernel / sigma, new_u). Matches torch/flax semantics
+    (1 iteration per call, u persisted, no grad through u/v).
+    """
+    k2 = kernel.reshape(-1, kernel.shape[-1]).astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    for _ in range(n_steps):
+        v = k2 @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u_new = k2.T @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + eps)
+        u = u_new
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(k2 @ u)
+    v = v / (jnp.linalg.norm(v) + eps)
+    sigma = jnp.einsum("k,kf,f->", v, k2, u)
+    return (kernel / sigma.astype(kernel.dtype)), u
+
+
+def shifted_stack(cov: jnp.ndarray, ks: int = 3) -> jnp.ndarray:
+    """(B, K, H, W) -> (B, K, ks*ks, H, W): SAME-padded spatial shifts
+    (the im2col of a ks x ks conv applied to single-channel maps)."""
+    B, K, H, W = cov.shape
+    p = ks // 2
+    padded = jnp.pad(cov, ((0, 0), (0, 0), (p, p), (p, p)))
+    shifts = [padded[:, :, dy:dy + H, dx:dx + W]
+              for dy in range(ks) for dx in range(ks)]
+    return jnp.stack(shifts, axis=2)
+
+
+def object_basis_conv(
+    cov: jnp.ndarray,    # (B, K, H, W) coverage maps (K = frames*objects)
+    wk: jnp.ndarray,     # (B, K, ks*ks, F) per-object projected kernels
+    ks: int = 3,
+) -> jnp.ndarray:
+    """sum_k conv2d(cov_k, wk_k) -> (B, H, W, F)."""
+    cs = shifted_stack(cov, ks)  # (B, K, ks*ks, H, W)
+    return jnp.einsum("bkshw,bksf->bhwf", cs, wk,
+                      preferred_element_type=jnp.float32)
+
+
+class FactorizedNormConv(nn.Module):
+    """NormConv applied to [layout windows, dense image channels] where the
+    layout part is consumed in the object basis.
+
+    Parameterization: one `kernel` of shape (ks, ks, n_seg_ch + img_ch,
+    features) — identical to the dense layer's — plus the subnorm;
+    spectral normalization is applied to the full kernel jointly, exactly
+    like the dense NormConv.
+    """
+
+    features: int
+    norm: str                 # e.g. 'spectralsyncbatch'
+    seg_dim: int              # per-frame layout channel count (vecs dim)
+    n_frames: int             # window length (n_frames_G)
+    kernel_size: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        cov_win: jnp.ndarray,   # (B, n_frames, O, H, W)
+        vecs_win: jnp.ndarray,  # (B, n_frames, O, seg_dim)
+        img: jnp.ndarray,       # (B, H, W, img_ch)
+        train: bool = True,
+    ) -> jnp.ndarray:
+        B, nF, O, H, W = cov_win.shape
+        ks = self.kernel_size
+        seg_ch = self.n_frames * self.seg_dim
+        img_ch = img.shape[-1]
+        spectral = self.norm.startswith("spectral")
+        subnorm = self.norm[len("spectral"):] if spectral else self.norm
+        has_subnorm = subnorm not in ("", "none")
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (ks, ks, seg_ch + img_ch, self.features))
+        if spectral:
+            u = self.variable(
+                "spectral", "u",
+                lambda: jax.random.normal(
+                    jax.random.PRNGKey(0), (self.features,)) /
+                jnp.sqrt(float(self.features)))
+            kernel_n, new_u = spectral_normalize(kernel, u.value)
+            if train and not self.is_initializing():
+                u.value = new_u
+        else:
+            kernel_n = kernel
+
+        kdt = self.dtype or kernel_n.dtype
+        kernel_n = kernel_n.astype(kdt)
+
+        # --- layout part in the object basis ---
+        k_seg = kernel_n[:, :, :seg_ch].reshape(
+            ks * ks, self.n_frames, self.seg_dim, self.features)
+        # Per (frame, object) kernels: (B, nF, O, ks*ks, F)
+        wk = jnp.einsum("sndf,bnod->bnosf", k_seg,
+                        vecs_win.astype(kdt))
+        wk = wk.reshape(B, nF * O, ks * ks, self.features)
+        cov = cov_win.reshape(B, nF * O, H, W).astype(kdt)
+        out = object_basis_conv(cov, wk, ks)
+
+        # --- dense image part ---
+        # (no preferred_element_type: its f32 output breaks the conv
+        # transpose rule under grad with bf16 operands)
+        k_img = kernel_n[:, :, seg_ch:]
+        out = out + jax.lax.conv_general_dilated(
+            img.astype(kdt), k_img, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(out.dtype)
+
+        if not has_subnorm:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            return (out + bias).astype(kdt)
+
+        out = out.astype(kdt)
+        if "batch" in subnorm:
+            return nn.BatchNorm(use_running_average=not train,
+                                dtype=self.dtype, name="norm")(out)
+        if "instance" in subnorm:
+            return nn.GroupNorm(num_groups=out.shape[-1], use_scale=False,
+                                use_bias=False, dtype=self.dtype,
+                                name="norm")(out)
+        raise ValueError(f"normalization layer {subnorm!r} is not recognized")

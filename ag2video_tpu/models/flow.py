@@ -65,6 +65,10 @@ class FlowsGenerator(nn.Module):
     flow_multiplier: float = 20.0
     flow_deconv: bool = False
     nf_max: int = 1024
+    # skip_first: the caller already applied the first NormConv+lrelu (the
+    # factorized object-basis frontend, models/factorized.py) and passes
+    # its (B, H, W, nff) output directly.
+    skip_first: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -74,9 +78,10 @@ class FlowsGenerator(nn.Module):
         nd = self.n_downsample_F
         ch = [min(self.nf_max, nf * (2 ** i)) for i in range(nd + 1)]
 
-        x = NormConv(nf, self.norm_F, 3, dtype=self.dtype,
-                     name="down_0")(x, train)
-        x = leaky_relu_02(x)
+        if not self.skip_first:
+            x = NormConv(nf, self.norm_F, 3, dtype=self.dtype,
+                         name="down_0")(x, train)
+            x = leaky_relu_02(x)
         for i in range(nd):
             x = NormConv(ch[i + 1], self.norm_F, 3, strides=2,
                          dtype=self.dtype, name=f"down_{i + 1}")(x, train)

@@ -82,33 +82,71 @@ class _FrameStep(nn.Module):
     flow_multiplier: float
     flow_deconv: bool
     train: bool
+    factorized: bool = False
+    seg_dim: int = 0       # per-frame layout channels (factorized mode)
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, carry, seg_win):
+    def __call__(self, carry, xs):
         imgs_prev = carry  # (B', H, W, ncond*3)
         train = self.train
 
-        input_flow = jnp.concatenate(
-            [seg_win, imgs_prev.astype(seg_win.dtype)], axis=-1)
-        _weight, flow = FlowsGenerator(
-            nff=self.nff, n_blocks_F=self.n_blocks_F,
-            n_downsample_F=self.n_downsample_F, norm_F=self.norm_F,
-            flow_multiplier=self.flow_multiplier,
-            flow_deconv=self.flow_deconv, dtype=self.dtype,
-            name="flows_network",
-        )(input_flow, train)
+        if self.factorized:
+            # Object-basis frontend: the dense layout windows never exist;
+            # the two frontend convs consume (coverage, vectors) directly
+            # (models/factorized.py).
+            from ag2video_tpu.models.factorized import FactorizedNormConv
 
-        prev_last = imgs_prev[..., -3:].astype(jnp.float32)
-        img_prev_warp = resample(prev_last, flow)
-        err = jnp.sum((prev_last - img_prev_warp) ** 2, axis=-1, keepdims=True)
-        conf = (err < CONF_THRESHOLD).astype(jnp.float32)
+            cov_win, vecs_win = xs  # (B', nF, O, H, W), (B', nF, O, Dseg)
+            flow_feat = FactorizedNormConv(
+                features=self.nff, norm=self.norm_F, seg_dim=self.seg_dim,
+                n_frames=self.n_frames_G, dtype=self.dtype,
+                name="flow_down_0",
+            )(cov_win, vecs_win, imgs_prev, train)
+            _weight, flow = FlowsGenerator(
+                nff=self.nff, n_blocks_F=self.n_blocks_F,
+                n_downsample_F=self.n_downsample_F, norm_F=self.norm_F,
+                flow_multiplier=self.flow_multiplier,
+                flow_deconv=self.flow_deconv, skip_first=True,
+                dtype=self.dtype, name="flows_network",
+            )(leaky_relu_02(flow_feat), train)
 
-        x = jnp.concatenate(
-            [seg_win, img_prev_warp.astype(seg_win.dtype)], axis=-1)
-        x = NormConv(self.semantic_nc, self.norm_F, 3, dtype=self.dtype,
-                     name="conv_dim_in")(x, train)
-        x = leaky_relu_02(x)
+            prev_last = imgs_prev[..., -3:].astype(jnp.float32)
+            img_prev_warp = resample(prev_last, flow)
+            err = jnp.sum((prev_last - img_prev_warp) ** 2, axis=-1,
+                          keepdims=True)
+            conf = (err < CONF_THRESHOLD).astype(jnp.float32)
+
+            x = FactorizedNormConv(
+                features=self.semantic_nc, norm=self.norm_F,
+                seg_dim=self.seg_dim, n_frames=self.n_frames_G,
+                dtype=self.dtype, name="conv_dim_in",
+            )(cov_win, vecs_win,
+              img_prev_warp.astype(cov_win.dtype), train)
+            x = leaky_relu_02(x)
+        else:
+            seg_win = xs
+            input_flow = jnp.concatenate(
+                [seg_win, imgs_prev.astype(seg_win.dtype)], axis=-1)
+            _weight, flow = FlowsGenerator(
+                nff=self.nff, n_blocks_F=self.n_blocks_F,
+                n_downsample_F=self.n_downsample_F, norm_F=self.norm_F,
+                flow_multiplier=self.flow_multiplier,
+                flow_deconv=self.flow_deconv, dtype=self.dtype,
+                name="flows_network",
+            )(input_flow, train)
+
+            prev_last = imgs_prev[..., -3:].astype(jnp.float32)
+            img_prev_warp = resample(prev_last, flow)
+            err = jnp.sum((prev_last - img_prev_warp) ** 2, axis=-1,
+                          keepdims=True)
+            conf = (err < CONF_THRESHOLD).astype(jnp.float32)
+
+            x = jnp.concatenate(
+                [seg_win, img_prev_warp.astype(seg_win.dtype)], axis=-1)
+            x = NormConv(self.semantic_nc, self.norm_F, 3, dtype=self.dtype,
+                         name="conv_dim_in")(x, train)
+            x = leaky_relu_02(x)
 
         img_raw = SPADEGenerator(
             ngf=self.ngf, norm_G=self.norm_G,
@@ -143,6 +181,11 @@ class Layout2VidGenerator(nn.Module):
     flow_deconv: bool = False
     remat: bool = True  # rematerialize the frame step (HBM-bound model;
     # saving only matmul outputs cuts activation traffic and peak memory)
+    # Object-basis frontend: consume (coverage, vecs) instead of the dense
+    # rasterized layout in the two frontend convs (~40x less compute there,
+    # and the (B,T,H,W,512) seg tensor never materializes). Math-identical
+    # to the dense path (tests/test_factorized.py).
+    factorized_frontend: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -171,17 +214,29 @@ class Layout2VidGenerator(nn.Module):
         vecs = jnp.concatenate([att_t, obj_vecs.astype(att.dtype)], axis=-1)
 
         obj_mask = remove_dummy_objects_mask(objs)  # (B, O)
-        seg = boxes_to_layout_batch(
-            vecs, layout_boxes, H, W,
-            mask=jnp.broadcast_to(obj_mask[:, None], layout_boxes.shape[:-1]),
-        )  # (B, T, H, W, Dseg)
-
-        # Sliding windows of n_frames_G layouts ending at frame t, channel
-        # stacked (reference seg_t, generator.py:66).
+        mask_bt = jnp.broadcast_to(obj_mask[:, None], layout_boxes.shape[:-1])
         n_gen = T - ncond
-        seg_win = jnp.concatenate(
-            [seg[:, i:i + n_gen] for i in range(ncond + 1)], axis=-1
-        )  # (B, n_gen, H, W, n_frames_G * Dseg)
+
+        if self.factorized_frontend:
+            from ag2video_tpu.ops.rasterize import box_coverage
+
+            dt = vecs.dtype
+            cov = box_coverage(layout_boxes, H, W, mask_bt).astype(dt)
+            # Windows over time: (B, n_gen, nF, O, ...)
+            cov_win = jnp.stack(
+                [cov[:, i:i + n_gen] for i in range(ncond + 1)], axis=2)
+            vecs_win = jnp.stack(
+                [vecs[:, i:i + n_gen] for i in range(ncond + 1)], axis=2)
+            windows = (cov_win, vecs_win)
+        else:
+            seg = boxes_to_layout_batch(
+                vecs, layout_boxes, H, W, mask=mask_bt,
+            )  # (B, T, H, W, Dseg)
+            # Sliding windows of n_frames_G layouts ending at frame t,
+            # channel stacked (reference seg_t, generator.py:66).
+            windows = jnp.concatenate(
+                [seg[:, i:i + n_gen] for i in range(ncond + 1)], axis=-1
+            )  # (B, n_gen, H, W, n_frames_G * Dseg)
 
         step_kwargs = dict(
             semantic_nc=self.semantic_nc, n_frames_G=self.n_frames_G,
@@ -190,7 +245,9 @@ class Layout2VidGenerator(nn.Module):
             aspect_ratio=self.aspect_ratio, nff=self.nff,
             n_blocks_F=self.n_blocks_F, n_downsample_F=self.n_downsample_F,
             flow_multiplier=self.flow_multiplier,
-            flow_deconv=self.flow_deconv, train=train, dtype=self.dtype,
+            flow_deconv=self.flow_deconv, train=train,
+            factorized=self.factorized_frontend,
+            seg_dim=vecs.shape[-1], dtype=self.dtype,
         )
 
         step_cls = _FrameStep
@@ -207,9 +264,10 @@ class Layout2VidGenerator(nn.Module):
                 [imgs_gt[:, i:i + n_gen] for i in range(ncond)], axis=-1
             )  # (B, n_gen, H, W, ncond*3)
             fold = lambda a: a.reshape((B * n_gen,) + a.shape[2:])
+            xs_folded = jax.tree.map(fold, windows)
             _, (img, flow, conf) = step_cls(
                 **step_kwargs, name="frame_step"
-            )(fold(prev_win), fold(seg_win))
+            )(fold(prev_win), xs_folded)
             unfold = lambda a: a.reshape((B, n_gen) + a.shape[1:])
             imgs_out, flows, confs = unfold(img), unfold(flow), unfold(conf)
         else:
@@ -217,7 +275,7 @@ class Layout2VidGenerator(nn.Module):
             prev0 = jnp.concatenate(
                 [imgs_gt[:, i] for i in range(ncond)], axis=-1
             )  # (B, H, W, ncond*3)
-            xs = jnp.moveaxis(seg_win, 1, 0)  # (n_gen, B, H, W, ...)
+            xs = jax.tree.map(lambda a: jnp.moveaxis(a, 1, 0), windows)
             scan_step = nn.scan(
                 step_cls,
                 variable_broadcast=["params", "batch_stats", "spectral"],

@@ -66,6 +66,7 @@ class AG2VideoModel(nn.Module):
             flow_multiplier=cfg.flow_multiplier,
             flow_deconv=cfg.flow_deconv,
             remat=cfg.remat_generator,
+            factorized_frontend=cfg.factorized_frontend,
             dtype=dtype,
         )
 

@@ -1,0 +1,117 @@
+"""Object-basis conv == dense conv over the rasterized layout."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.factorized import (
+    FactorizedNormConv,
+    object_basis_conv,
+    shifted_stack,
+    spectral_normalize,
+)
+from ag2video_tpu.ops.rasterize import boxes_to_layout_batch, box_coverage
+
+
+def _scene(rng, B=2, nF=2, O=3, D=16, H=16):
+    vecs = rng.randn(B, nF, O, D).astype(np.float32)
+    boxes = rng.uniform(0.1, 0.5, (B, nF, O, 4)).astype(np.float32)
+    mask = np.ones((B, nF, O), np.float32)
+    cov = np.asarray(box_coverage(jnp.asarray(boxes), H, H,
+                                  jnp.asarray(mask)))
+    return vecs, boxes, mask, cov
+
+
+def test_object_basis_conv_matches_dense(rng):
+    """conv(dense seg, K_seg) == object_basis_conv(cov, K_seg . vecs)."""
+    B, nF, O, D, H, F = 2, 2, 3, 16, 16, 8
+    vecs, boxes, mask, cov = _scene(rng, B, nF, O, D, H)
+    seg = np.asarray(boxes_to_layout_batch(
+        jnp.asarray(vecs), jnp.asarray(boxes), H,
+        mask=jnp.asarray(mask)))  # (B, nF, H, W, D)
+    seg_win = seg.transpose(0, 2, 3, 1, 4).reshape(B, H, H, nF * D)
+
+    K = rng.randn(3, 3, nF * D, F).astype(np.float32) * 0.1
+    dense = jax.lax.conv_general_dilated(
+        jnp.asarray(seg_win), jnp.asarray(K), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    k_seg = K.reshape(3 * 3, nF, D, F)
+    wk = np.einsum("sndf,bnod->bnosf", k_seg, vecs).reshape(
+        B, nF * O, 9, F)
+    out = object_basis_conv(
+        jnp.asarray(cov.reshape(B, nF * O, H, H)), jnp.asarray(wk))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_shifted_stack_center_is_identity(rng):
+    x = jnp.asarray(rng.randn(1, 2, 5, 5).astype(np.float32))
+    s = shifted_stack(x)
+    np.testing.assert_allclose(np.asarray(s[:, :, 4]), np.asarray(x))
+    # Top-left shift brings in zero padding on the first row/col.
+    assert np.all(np.asarray(s[:, :, 0])[:, :, 0, :] == 0)
+
+
+def test_factorized_norm_conv_matches_dense_layer(rng):
+    """FactorizedNormConv (spectral off) == dense conv with the same kernel
+    applied to [seg windows, image]."""
+    B, nF, O, D, H, F = 2, 2, 3, 16, 16, 8
+    vecs, boxes, mask, cov = _scene(rng, B, nF, O, D, H)
+    img = rng.randn(B, H, H, 3).astype(np.float32)
+
+    m = FactorizedNormConv(features=F, norm="none", seg_dim=D, n_frames=nF)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(cov),
+                   jnp.asarray(vecs), jnp.asarray(img), train=False)
+    out = m.apply(vars_, jnp.asarray(cov), jnp.asarray(vecs),
+                  jnp.asarray(img), train=False)
+
+    K = np.asarray(vars_["params"]["kernel"])
+    bias = np.asarray(vars_["params"]["bias"])
+    seg = np.asarray(boxes_to_layout_batch(
+        jnp.asarray(vecs), jnp.asarray(boxes), H, mask=jnp.asarray(mask)))
+    seg_win = seg.transpose(0, 2, 3, 1, 4).reshape(B, H, H, nF * D)
+    x = np.concatenate([seg_win, img], axis=-1)
+    dense = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(K), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_normalize_scales_to_unit_sigma(rng):
+    K = rng.randn(3, 3, 8, 6).astype(np.float32)
+    u = rng.randn(6).astype(np.float32)
+    u /= np.linalg.norm(u)
+    kn, u2 = K, u
+    for _ in range(50):  # converge the power iteration
+        kn_, u2 = spectral_normalize(jnp.asarray(K), jnp.asarray(u2))
+    sigma_true = np.linalg.svd(K.reshape(-1, 6), compute_uv=False)[0]
+    kn_final, _ = spectral_normalize(jnp.asarray(K), jnp.asarray(u2))
+    est = K.reshape(-1, 6) / np.asarray(kn_final).reshape(-1, 6)
+    np.testing.assert_allclose(est.mean(), sigma_true, rtol=1e-3)
+
+
+def test_factorized_grads_flow(rng):
+    B, nF, O, D, H, F = 1, 2, 3, 8, 8, 4
+    vecs, boxes, mask, cov = _scene(rng, B, nF, O, D, H)
+    img = rng.randn(B, H, H, 3).astype(np.float32)
+    m = FactorizedNormConv(features=F, norm="spectralsyncbatch",
+                           seg_dim=D, n_frames=nF)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(cov),
+                   jnp.asarray(vecs), jnp.asarray(img), train=False)
+
+    def loss(p, c, v):
+        out, _ = m.apply({"params": p, "spectral": vars_["spectral"],
+                          "batch_stats": vars_["batch_stats"]},
+                         c, v, jnp.asarray(img), train=True,
+                         mutable=["spectral", "batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        vars_["params"], jnp.asarray(cov), jnp.asarray(vecs))
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -1,0 +1,86 @@
+"""End-to-end: the factorized-frontend generator == the dense generator
+when given the same kernel weights (spectral norm off to isolate the
+factorization math)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.generator import Layout2VidGenerator
+from ag2video_tpu.vocab import get_vocab
+from tests.test_models import make_batch
+
+
+def _make_gen(factorized):
+    v = get_vocab("cater")
+    return Layout2VidGenerator(
+        vocab=v, semantic_nc=64, ngf=4, nff=8, n_blocks_F=1,
+        n_downsample_F=1, norm_F="syncbatch",  # spectral OFF for this test
+        norm_G="spadesyncbatch3x3", remat=False,
+        factorized_frontend=factorized)
+
+
+def _map_params(dense_params):
+    """Copy dense-path frontend kernels into the factorized layout."""
+    import copy
+
+    p = copy.deepcopy(dense_params)
+    fs = p["frame_step"]
+    # flows_network/down_0 (NormConv: conv/kernel + norm) ->
+    # flow_down_0 (kernel + norm)
+    down0 = fs["flows_network"].pop("down_0")
+    fs["flow_down_0"] = {"kernel": down0["conv"]["kernel"],
+                         "norm": down0["norm"]}
+    # conv_dim_in: NormConv {conv: {kernel}, norm} -> {kernel, norm}
+    cdi = fs.pop("conv_dim_in")
+    fs["conv_dim_in"] = {"kernel": cdi["conv"]["kernel"],
+                         "norm": cdi["norm"]}
+    return p
+
+
+@pytest.mark.slow
+def test_factorized_generator_matches_dense(rng):
+    b = make_batch(rng, B=1, T=3, O=4, H=32)
+    obj_vecs = jnp.asarray(rng.randn(1, 3, 4, 128).astype(np.float32))
+
+    dense = _make_gen(False)
+    dv = dense.init(jax.random.PRNGKey(0), b["imgs"], b["objs"], obj_vecs,
+                    b["boxes"], teacher_forced=True, train=False)
+    out_d, flow_d, conf_d = dense.apply(
+        dv, b["imgs"], b["objs"], obj_vecs, b["boxes"],
+        teacher_forced=True, train=False)
+
+    fact = _make_gen(True)
+    fv = fact.init(jax.random.PRNGKey(0), b["imgs"], b["objs"], obj_vecs,
+                   b["boxes"], teacher_forced=True, train=False)
+    mapped = _map_params(jax.device_get(dv["params"]))
+    # Sanity: structures align after mapping.
+    assert jax.tree.structure(mapped) == jax.tree.structure(
+        jax.device_get(fv["params"]))
+    # Batch stats are at init values (mean 0, var 1) on both sides; use the
+    # factorized model's own structure.
+    vars_f = {"params": mapped, "batch_stats": fv["batch_stats"]}
+    out_f, flow_f, conf_f = fact.apply(
+        vars_f, b["imgs"], b["objs"], obj_vecs, b["boxes"],
+        teacher_forced=True, train=False)
+
+    np.testing.assert_allclose(np.asarray(flow_f), np.asarray(flow_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf_f), np.asarray(conf_d))
+
+
+@pytest.mark.slow
+def test_factorized_ar_path_runs(rng):
+    b = make_batch(rng, B=1, T=3, O=4, H=32)
+    obj_vecs = jnp.asarray(rng.randn(1, 3, 4, 128).astype(np.float32))
+    g = _make_gen(True)
+    vars_ = g.init(jax.random.PRNGKey(0), b["imgs"], b["objs"], obj_vecs,
+                   b["boxes"], teacher_forced=True, train=False)
+    out, _, _ = g.apply(vars_, b["imgs"], b["objs"], obj_vecs, b["boxes"],
+                        teacher_forced=False, train=False)
+    assert out.shape == b["imgs"].shape
+    assert np.all(np.isfinite(np.asarray(out)))
