@@ -41,7 +41,8 @@ class GenerationSession:
         self._variables = None
         self._run_dir = run_dir
         self._checkpoint = checkpoint or run_dir
-        self._generate_jit = jax.jit(self._generate_fn)
+        self._generate_jit = jax.jit(self._generate_fn,
+                                     static_argnums=(6,))
 
     # ------------------------------------------------------------------
     def load(self, sample_batch: Batch):
@@ -59,16 +60,19 @@ class GenerationSession:
         return self
 
     # ------------------------------------------------------------------
-    def _generate_fn(self, variables, imgs, objs, triplets, actions, boxes):
+    def _generate_fn(self, variables, imgs, objs, triplets, actions, boxes,
+                     use_gt=False):
         out = self.model.apply(
             variables, imgs, objs, triplets, actions, boxes,
-            test_mode=True, use_gt=False, train=False)
+            test_mode=True, use_gt=use_gt, train=False)
         return out["imgs_pred"], out["boxes_pred"]
 
     def generate(self, batch: Batch,
-                 actions: Optional[np.ndarray] = None):
+                 actions: Optional[np.ndarray] = None,
+                 use_gt: bool = False):
         """Generate videos; `actions` (A, 7) or (B, A, 7) overrides the
-        batch's actions (the compositionality hook)."""
+        batch's actions (the compositionality hook). use_gt=True renders
+        from GT boxes (the reference's --use_test mode, test.py:285)."""
         assert self._variables is not None, "call load() first"
         b = batch.as_dict()
         if actions is not None:
@@ -86,7 +90,7 @@ class GenerationSession:
         imgs_pred, boxes_pred = self._generate_jit(
             self._variables, jnp.asarray(b["imgs"]), jnp.asarray(b["objs"]),
             jnp.asarray(b["triplets"]), jnp.asarray(b["actions"]),
-            jnp.asarray(b["boxes"]))
+            jnp.asarray(b["boxes"]), use_gt)
         return np.asarray(imgs_pred), np.asarray(boxes_pred)
 
     # ------------------------------------------------------------------
@@ -131,10 +135,12 @@ class GenerationSession:
             gt_fn = os.path.join(out_dir, "gt_action", name, f"{vid_id}.gif")
             save_gif(plot_vid(np.asarray(batch.imgs)[0]), gt_fn)
 
-    def save_test_outputs(self, batch: Batch, out_dir: str) -> None:
+    def save_test_outputs(self, batch: Batch, out_dir: str,
+                          use_gt: bool = True) -> None:
         """The reference's --save_test path (test.py:281-299): gif +
-        {'image','box'} pkl per video."""
-        imgs_pred, boxes_pred = self.generate(batch)
+        {'image','box'} pkl per video; use_gt follows --use_test
+        (default 1 upstream -> generate from GT boxes)."""
+        imgs_pred, boxes_pred = self.generate(batch, use_gt=use_gt)
         save_p = os.path.join(out_dir, "test")
         for i, vid_id in enumerate(batch.video_ids):
             save_gif(plot_vid(imgs_pred[i]), os.path.join(save_p, f"{vid_id}.gif"))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ag2video_tpu.config import Config
-from ag2video_tpu.losses.gan import gan_loss, multiscale_gan_loss
+from ag2video_tpu.losses.gan import multiscale_gan_loss
 from ag2video_tpu.losses.perceptual import vgg_loss
 from ag2video_tpu.ops.warp import resample
 

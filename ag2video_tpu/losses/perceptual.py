@@ -7,7 +7,7 @@ extraction (reference VGGLoss.forward flattens frames).
 
 from __future__ import annotations
 
-from typing import Any, Callable, List
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

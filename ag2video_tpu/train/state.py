@@ -11,7 +11,7 @@ is realized with two `optax.masked` Adams over the one model param tree
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import flax
 import jax

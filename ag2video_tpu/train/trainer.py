@@ -14,11 +14,9 @@ params/opt-state inside jit (`_guarded_update`) and bump a skip counter.
 
 from __future__ import annotations
 
-import functools
 import logging
-import os
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--save_actions", type=int, default=1)
     p.add_argument("--num_videos", type=int, default=4)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--use_test", type=int, default=1,
+                   help="save_test generates from GT boxes (reference "
+                        "test.py --use_test default)")
     args = p.parse_args(argv)
 
     import os
@@ -53,7 +56,8 @@ def main(argv=None):
         if args.save_actions:
             sess.run_action_sweep(batch, out_dir)
         if args.save_test:
-            sess.save_test_outputs(batch, out_dir)
+            sess.save_test_outputs(batch, out_dir,
+                                   use_gt=bool(args.use_test))
         n += len(batch.video_ids)
         if n >= args.num_videos:
             break
