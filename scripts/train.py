@@ -114,7 +114,23 @@ def main(argv=None):
              param_count(trainer.state.d_params) / 1e6)
 
     if cfg.restore_checkpoint:
-        trainer.restore_checkpoint(cfg.checkpoint_name)
+        # --restore_checkpoint 1: resume from --checkpoint_name if it is a
+        # real path, else from the latest itr_* in output_dir (the
+        # reference's resume flow, train.py:27-57, with auto-latest).
+        import os as _os
+
+        from ag2video_tpu.train.checkpoint import latest_checkpoint
+
+        path = cfg.checkpoint_name
+        if not _os.path.exists(path):
+            found = latest_checkpoint(cfg.output_dir)
+            if found is None:
+                raise FileNotFoundError(
+                    f"no checkpoint at {path!r} and no itr_* under "
+                    f"{cfg.output_dir!r}")
+            path = found
+        trainer.restore_checkpoint(path)
+        log.info("resumed from %s at step %d", path, int(trainer.state.step))
 
     writer = MetricsWriter(cfg.output_dir) if cfg.output_dir else None
     if cfg.output_dir:
