@@ -311,6 +311,14 @@ class CATERDataset:
             frames_lst = list(range(s_frame, e_frame))
             stride = self.initial_frames_per_sample // self.frames_per_action
             frames_lst = frames_lst[0:self.initial_frames_per_sample:stride]
+            # Test windows can end early (e = min(end_of_actions, s + span),
+            # choose_window): repeat-pad the last frame so every sample has
+            # exactly frames_per_action frames (ragged clips cannot stack in
+            # the fixed-shape collate; the smth pipeline pads the same way,
+            # reference smth.py:328-331).
+            if len(frames_lst) < self.frames_per_action:
+                frames_lst += frames_lst[-1:] * (
+                    self.frames_per_action - len(frames_lst))
 
             from PIL import Image
 

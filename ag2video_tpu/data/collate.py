@@ -57,11 +57,18 @@ def collate(
         E = triplets.shape[1]
         A = actions.shape[0] if actions.size else 0
 
-        if O > max_objects or E > max_triplets or A > max_actions:
+        if O > max_objects:
+            # Truncating objects would drop the dummy __image__ row (always
+            # last) and leave triplets pointing at out-of-cap indices —
+            # semantic corruption, not truncation. Skip the sample; caps
+            # must be set from dataset statistics.
+            log.warning("sample %s has O=%d > max_objects=%d; skipping",
+                        video_id, O, max_objects)
+            continue
+        if E > max_triplets or A > max_actions:
             log.warning(
-                "sample %s exceeds caps (O=%d E=%d A=%d); truncating",
-                video_id, O, E, A)
-            O = min(O, max_objects)
+                "sample %s exceeds caps (E=%d A=%d); truncating edges",
+                video_id, E, A)
             E = min(E, max_triplets)
             A = min(A, max_actions)
 

@@ -9,11 +9,14 @@ vestigial DistributedSampler hook, scripts/train.py:128-133).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from ag2video_tpu.config import Config
 from ag2video_tpu.data.collate import Batch, collate
@@ -99,24 +102,62 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
+        n_ds = len(self.ds)
+
+        def fetch(i: int):
+            """One sample, or None if corrupt: CATER returns None tuples
+            (cater.py:387), SmthElse returns (False, reason)
+            (smth.py:299-358, collate filter dataset_params.py:30)."""
+            try:
+                s = self.ds[int(i)]
+            except Exception as e:
+                log.warning("sample %d failed: %s", i, e)
+                return None
+            if s[0] is None or isinstance(s[0], bool):
+                return None
+            return s
+
         def worker(worker_id: int):
-            for bi, batch_idx in enumerate(batches):
-                if bi % self.num_threads != worker_id:
-                    continue
-                if stop.is_set():
-                    return
-                samples = []
-                for i in batch_idx:
-                    s = self.ds[int(i)]
-                    # Filter corrupt samples: CATER returns None tuples
-                    # (cater.py:387), SmthElse returns (False, reason)
-                    # (smth.py:299-358, collate filter dataset_params.py:30).
-                    if s[0] is None or isinstance(s[0], bool):
+            # try/finally: the sentinel MUST go out even on a worker crash,
+            # and every batch index must be acknowledged (with None when it
+            # produced nothing) or the reordering loop deadlocks.
+            try:
+                for bi, batch_idx in enumerate(batches):
+                    if bi % self.num_threads != worker_id:
                         continue
-                    samples.append(s)
-                if samples:
-                    q.put((bi, self._collate(samples)))
-            q.put((None, None))
+                    if stop.is_set():
+                        return
+                    samples = [s for s in (fetch(i) for i in batch_idx)
+                               if s is not None]
+                    # Refill to the static batch size: corrupt samples are
+                    # replaced by neighboring indices so shapes stay fixed
+                    # (a shrunken batch means an XLA recompile and breaks
+                    # data-axis divisibility under a mesh).
+                    probe = int(batch_idx[-1]) + 1
+                    attempts = 0
+                    while samples and len(samples) < self.batch_size \
+                            and attempts < 4 * self.batch_size:
+                        s = fetch(probe % n_ds)
+                        if s is not None:
+                            samples.append(s)
+                        probe += 1
+                        attempts += 1
+                    try:
+                        out = self._collate(samples) if len(
+                            samples) == self.batch_size else None
+                        # collate may itself drop cap-violating samples;
+                        # only full-size batches keep shapes static.
+                        if out is not None and \
+                                out.imgs.shape[0] != self.batch_size:
+                            log.warning("batch %d shrank in collate; "
+                                        "dropping", bi)
+                            out = None
+                    except Exception as e:
+                        log.warning("collate failed for batch %d: %s", bi, e)
+                        out = None
+                    q.put((bi, out))
+            finally:
+                q.put((None, None))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_threads)]
@@ -124,23 +165,23 @@ class Loader:
             t.start()
 
         # Re-order by batch index to keep determinism despite threading.
-        pending: Dict[int, Batch] = {}
+        # Every batch index is acknowledged (value None = dropped batch), so
+        # next_bi always advances and the loop cannot deadlock.
+        pending: Dict[int, Optional[Batch]] = {}
         done_workers = 0
         next_bi = 0
         try:
             while done_workers < self.num_threads or pending:
-                if next_bi in pending:
-                    yield pending.pop(next_bi)
+                while next_bi in pending:
+                    batch = pending.pop(next_bi)
                     next_bi += 1
-                    continue
+                    if batch is not None:
+                        yield batch
+                if done_workers == self.num_threads:
+                    break
                 bi, batch = q.get()
                 if bi is None:
                     done_workers += 1
-                    if done_workers == self.num_threads:
-                        # Drain stragglers in order.
-                        while next_bi in pending:
-                            yield pending.pop(next_bi)
-                            next_bi += 1
                     continue
                 pending[bi] = batch
         finally:

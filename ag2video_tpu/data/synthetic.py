@@ -23,9 +23,7 @@ import numpy as np
 
 from ag2video_tpu.vocab import synthetic_vocab
 
-# ImageNet statistics (reference data/cater.py:137-138).
-IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from ag2video_tpu.data.transforms import IMG_MEAN, IMG_STD
 
 COLOR_RGB = {
     1: (0.85, 0.15, 0.15),  # red
@@ -160,6 +158,5 @@ class SyntheticDataset:
         return (frames - IMG_MEAN) / IMG_STD
 
 
-def denormalize(img: np.ndarray) -> np.ndarray:
-    """ImageNet-normalized -> [0, 1] RGB (reference models/vis.py:29-44)."""
-    return np.clip(np.asarray(img) * IMG_STD + IMG_MEAN, 0.0, 1.0)
+# denormalize lives in data.transforms (single source of truth).
+from ag2video_tpu.data.transforms import denormalize  # noqa: E402,F401

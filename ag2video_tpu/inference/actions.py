@@ -110,15 +110,26 @@ def extend_horizon(actions: np.ndarray, factor: float) -> np.ndarray:
     return out
 
 
+def real_object_count(objs: np.ndarray) -> int:
+    """Number of real objects in a padded (B, O, A) attribute tensor:
+    slots with first-attribute id 0 are the dummy/padding (the reference
+    works on unpadded objs and uses objs.shape[1] - 1, test.py:103)."""
+    return int((np.asarray(objs)[0, :, 0] != 0).sum())
+
+
 def cater_execute_set(vocab: Dict) -> List[Dict]:
-    """The reference's CATER test-time action set (test.py:150-153)."""
+    """The reference's CATER test-time action set (test.py:150-153).
+
+    Builders receive the *padded* batch objs; the real object count is
+    recovered from the attribute ids so padding slots never become action
+    subjects."""
     contain = vocab["action_name_to_idx"]["_contain"]
     slide = vocab["action_name_to_idx"]["_slide"]
     pick = vocab["action_name_to_idx"]["_pick_place"]
     return [
         {"action_name": "converge",
          "action_func": lambda objs, vids, boxes:
-             converge(objs.shape[1] - 1, contain)},
+             converge(real_object_count(objs), contain)},
         {"action_name": "swap",
          "action_func": lambda objs, vids, boxes:
              swap(np.asarray(boxes[0, 0]), 0, 1, pick, slide)},

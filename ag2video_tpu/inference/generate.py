@@ -142,10 +142,14 @@ class GenerationSession:
         (default 1 upstream -> generate from GT boxes)."""
         imgs_pred, boxes_pred = self.generate(batch, use_gt=use_gt)
         save_p = os.path.join(out_dir, "test")
+        objs = np.asarray(batch.objs)
         for i, vid_id in enumerate(batch.video_ids):
             save_gif(plot_vid(imgs_pred[i]), os.path.join(save_p, f"{vid_id}.gif"))
-            boxes_out = boxes_pred[i]
-            if boxes_out.shape[-2] > 3:
-                boxes_out = boxes_out[:, :-1]  # strip dummy (test.py:288-290)
+            # Strip the dummy AND padding slots: real objects occupy indices
+            # 0..n_real-1, the dummy sits at n_real, padding after (the
+            # reference strips only the last row because its boxes are
+            # unpadded, test.py:288-290).
+            n_real = int((objs[i, :, 0] != 0).sum())
+            boxes_out = boxes_pred[i][:, :max(n_real, 1)]
             save_video_pickle(os.path.join(save_p, f"{vid_id}.pkl"),
                               imgs_pred[i], boxes_out)

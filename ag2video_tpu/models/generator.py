@@ -238,6 +238,11 @@ class Layout2VidGenerator(nn.Module):
                 [seg[:, i:i + n_gen] for i in range(ncond + 1)], axis=-1
             )  # (B, n_gen, H, W, n_frames_G * Dseg)
 
+        # Autoregressive + train (bp_prev) would mutate broadcast BN/spectral
+        # state inside nn.scan (a hard error); run the scanned step with
+        # eval-mode norms — gradients still flow through all params
+        # (documented divergence, DESIGN.md §9).
+        step_train = train and teacher_forced
         step_kwargs = dict(
             semantic_nc=self.semantic_nc, n_frames_G=self.n_frames_G,
             ngf=self.ngf, norm_G=self.norm_G, norm_F=self.norm_F,
@@ -245,7 +250,7 @@ class Layout2VidGenerator(nn.Module):
             aspect_ratio=self.aspect_ratio, nff=self.nff,
             n_blocks_F=self.n_blocks_F, n_downsample_F=self.n_downsample_F,
             flow_multiplier=self.flow_multiplier,
-            flow_deconv=self.flow_deconv, train=train,
+            flow_deconv=self.flow_deconv, train=step_train,
             factorized=self.factorized_frontend,
             seg_dim=vecs.shape[-1], dtype=self.dtype,
         )

@@ -52,12 +52,29 @@ def _lr_schedule(cfg: Config, scale_decayed: float = 1.0):
     return sched
 
 
+def _masked_only(inner, mask_fn):
+    """optax.masked applies `inner` to mask=True leaves but passes RAW
+    gradients through for mask=False leaves — apply_updates would then do
+    unscaled gradient ascent on them. Chain a set_to_zero over the
+    complement so masked-out params receive exactly zero update (the
+    reference excludes them from the optimizer entirely, train.py:365-368).
+    """
+    def complement(params):
+        return jax.tree.map(lambda m: not m, mask_fn(params),
+                            is_leaf=lambda x: isinstance(x, bool))
+
+    return optax.chain(
+        optax.masked(inner, mask_fn),
+        optax.masked(optax.set_to_zero(), complement),
+    )
+
+
 def make_optimizers(cfg: Config, params):
     ttur = not cfg.no_TTUR
     adam = lambda scale=1.0: optax.adam(
         _lr_schedule(cfg, scale), b1=cfg.beta1, b2=0.999)
-    opt_graph = optax.masked(adam(), _graph_mask(params))
-    opt_gen = optax.masked(adam(0.5 if ttur else 1.0), _gen_mask(params))
+    opt_graph = _masked_only(adam(), _graph_mask)
+    opt_gen = _masked_only(adam(0.5 if ttur else 1.0), _gen_mask)
     opt_d = adam(2.0 if ttur else 1.0)
     return opt_graph, opt_gen, opt_d
 

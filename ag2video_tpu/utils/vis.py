@@ -14,7 +14,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ag2video_tpu.data.synthetic import denormalize
+from ag2video_tpu.data.transforms import denormalize
 
 
 def draw_boxes(frame: np.ndarray, boxes: np.ndarray,

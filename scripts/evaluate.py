@@ -33,6 +33,8 @@ log = logging.getLogger("evaluate")
 def _load_images(directory, size=(299, 299), limit=None):
     from PIL import Image
 
+    from ag2video_tpu.data.transforms import IMG_MEAN, IMG_STD
+
     paths = sorted(
         p for ext in ("*.png", "*.jpg", "*.jpeg")
         for p in glob.glob(os.path.join(directory, ext)))
@@ -41,7 +43,10 @@ def _load_images(directory, size=(299, 299), limit=None):
     out = []
     for p in paths:
         img = Image.open(p).convert("RGB").resize(size[::-1])
-        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+        # ImageNet normalization — what the ported torchvision InceptionV3
+        # weights expect (and what the train-time IS path feeds).
+        arr = np.asarray(img, np.float32) / 255.0
+        out.append((arr - IMG_MEAN) / IMG_STD)
     return np.stack(out)
 
 

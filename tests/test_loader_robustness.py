@@ -1,0 +1,129 @@
+"""Regression tests for review findings: loader deadlock/refill, optax
+masked pass-through, collate cap handling, AR-train path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.registry import Loader
+from ag2video_tpu.data.synthetic import SyntheticDataset
+from ag2video_tpu.train.state import _gen_mask, make_optimizers
+from ag2video_tpu.vocab import get_vocab
+
+
+class FlakyDataset:
+    """Wraps SyntheticDataset; selected indices are corrupt/raising."""
+
+    def __init__(self, inner, corrupt=(), raising=()):
+        self.inner = inner
+        self.corrupt = set(corrupt)
+        self.raising = set(raising)
+        self.vocab = inner.vocab
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, i):
+        if i in self.raising:
+            raise RuntimeError(f"boom {i}")
+        if i in self.corrupt:
+            return (None,) * 6  # the CATER corrupt contract
+        return self.inner[i]
+
+
+def _cfg():
+    vocab = get_vocab("synthetic")
+    return Config(dataset="synthetic", image_size=(16, 16), batch_size=2,
+                  frames_per_action=2, dataset_size=8, number_of_objects=3,
+                  max_objects=5, max_triplets=6, max_actions=2).derive(vocab)
+
+
+def test_loader_survives_corrupt_batch():
+    """A fully-corrupt batch must be refilled or dropped — never deadlock
+    (previously: missing batch index hung the reorder loop forever)."""
+    cfg = _cfg()
+    ds = FlakyDataset(SyntheticDataset(partition="train", image_size=(16, 16),
+                                       frames_per_action=2, dataset_size=8,
+                                       number_of_objects=3),
+                      corrupt={2, 3})
+    loader = Loader(ds, cfg, shuffle=False, num_threads=2)
+    batches = list(loader.epoch(0))
+    # All yielded batches are full-size (refilled from neighbors).
+    assert batches, "no batches yielded"
+    for b in batches:
+        assert b.imgs.shape[0] == cfg.batch_size
+
+
+def test_loader_survives_worker_exception():
+    """A raising sample must not kill the worker before its sentinel."""
+    cfg = _cfg()
+    ds = FlakyDataset(SyntheticDataset(partition="train", image_size=(16, 16),
+                                       frames_per_action=2, dataset_size=8,
+                                       number_of_objects=3),
+                      raising={1})
+    loader = Loader(ds, cfg, shuffle=False, num_threads=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) >= 3
+    for b in batches:
+        assert b.imgs.shape[0] == cfg.batch_size
+
+
+def test_masked_optimizer_zeroes_excluded_params():
+    """optax.masked passes raw grads through for excluded leaves; the
+    chained set_to_zero must make their update exactly zero (previously:
+    unscaled gradient ascent on acts_to_boxes in the G step)."""
+    cfg = Config(learning_rate=1e-3)
+    params = {"acts_to_boxes": {"w": jnp.ones(3)},
+              "layout_to_video": {"w": jnp.ones(3)}}
+    grads = {"acts_to_boxes": {"w": jnp.full(3, 10.0)},
+             "layout_to_video": {"w": jnp.full(3, 10.0)}}
+    _, opt_gen, _ = make_optimizers(cfg, params)
+    state = opt_gen.init(params)
+    updates, _ = opt_gen.update(grads, state, params)
+    assert np.all(np.asarray(updates["acts_to_boxes"]["w"]) == 0.0)
+    assert np.all(np.asarray(updates["layout_to_video"]["w"]) != 0.0)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["acts_to_boxes"]["w"]),
+                                  np.ones(3))
+
+
+def test_collate_skips_cap_violating_sample():
+    from ag2video_tpu.data.collate import collate
+
+    cfg = _cfg()
+    ds = SyntheticDataset(partition="train", image_size=(16, 16),
+                          frames_per_action=2, dataset_size=8,
+                          number_of_objects=3)
+    good = ds[0]
+    big = ds[1]
+    # Fabricate an over-cap sample: 7 objects > max_objects=5.
+    objs = {k: np.concatenate([v, v])[:7] for k, v in big[1].items()}
+    boxes = np.concatenate([big[2], big[2]], axis=1)[:, :7]
+    bad = (big[0], objs, boxes, big[3], big[4], "too_big")
+    batch = collate([good, bad], ds.vocab, cfg.max_objects,
+                    cfg.max_triplets, cfg.max_actions)
+    assert batch.imgs.shape[0] == 1  # bad sample skipped, not corrupted
+    assert batch.video_ids == [good[5]]
+
+
+@pytest.mark.slow
+def test_bp_prev_training_runs(rng):
+    """Autoregressive training (bp_prev) must not crash the scan
+    (previously: broadcast-variable mutation error)."""
+    from ag2video_tpu.data.registry import Loader as L
+    from ag2video_tpu.data.registry import get_dataset
+    from ag2video_tpu.train.trainer import Trainer
+    from tests.test_train import tiny_config
+
+    cfg, vocab = tiny_config(bp_prev=True)
+    ds = get_dataset("synthetic", "train", cfg)
+    loader = L(ds, cfg, shuffle=False)
+    tr = Trainer(cfg, vocab)
+    b = next(loader.epoch(0))
+    tr.init(b)
+    m = tr.train_step(b)
+    assert np.isfinite(float(m["G/total_loss"]))
