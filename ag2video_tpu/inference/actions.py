@@ -21,8 +21,7 @@ import numpy as np
 
 
 def action_rows(rows: Sequence[Sequence[float]]) -> np.ndarray:
-    a = np.asarray(rows, np.float32)
-    assert a.ndim == 2 and a.shape[1] == 7, a.shape
+    a = np.asarray(rows, np.float32).reshape(-1, 7)
     return a
 
 

@@ -51,7 +51,8 @@ class GenerationSession:
         b = {k: jnp.asarray(v) for k, v in sample_batch.as_dict().items()}
         state, _, _, _ = create_train_state(
             self.cfg, self.vocab, jax.random.PRNGKey(0), b)
-        state = ckpt_lib.restore_checkpoint(self._checkpoint, state)
+        state = ckpt_lib.restore_checkpoint(self._checkpoint, state,
+                                            for_inference=True)
         self._variables = {"params": state.params, **state.model_state}
         return self
 
@@ -119,12 +120,12 @@ class GenerationSession:
                 os.path.join("action_timing", name, "before"):
                     action_lib.shift_before(acts) if name != "converge"
                     else action_lib.converge_before(
-                        batch.objs.shape[1] - 1,
+                        action_lib.real_object_count(batch.objs),
                         int(acts[0, 1])),
                 os.path.join("action_timing", name, "after"):
                     action_lib.shift_after(acts) if name != "converge"
                     else action_lib.converge_after(
-                        batch.objs.shape[1] - 1,
+                        action_lib.real_object_count(batch.objs),
                         int(acts[0, 1])),
             }
             for rel, a in variants.items():

@@ -16,6 +16,7 @@ import os
 import re
 from typing import Any, Dict, Optional
 
+import flax
 import jax
 import orbax.checkpoint as ocp
 
@@ -51,16 +52,38 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
-def restore_checkpoint(path: str, target_state):
+def restore_checkpoint(path: str, target_state, for_inference: bool = False):
     """Restore into the structure of `target_state` (must be pre-built with
-    matching shapes, like the reference's load_state_dict contract)."""
+    matching shapes, like the reference's load_state_dict contract).
+
+    for_inference=True restores only the model-side fields (params,
+    model_state, d_params, d_state, vgg_params, counters), tolerating
+    optimizer-state structure drift across framework versions — inference
+    never needs optimizer states.
+    """
     if os.path.isdir(path) and not re.match(r".*itr_\d+$", path):
         found = latest_checkpoint(path)
         if found is None:
             raise FileNotFoundError(f"no itr_* checkpoints under {path}")
         path = found
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path),
-                                 jax.device_get(target_state))
+    target = jax.device_get(target_state)
+    path = os.path.abspath(path)
+    if for_inference:
+        # Raw (structure-free) restore, then adopt only the model-side
+        # fields — tolerates optimizer-state structure drift between
+        # framework versions.
+        with ocp.PyTreeCheckpointer() as ckptr:
+            raw = ckptr.restore(path)
+        keep = ("params", "model_state", "d_params", "d_state",
+                "vgg_params", "step", "epoch")
+        updates = {}
+        for k in keep:
+            if k in raw and raw[k] is not None:
+                updates[k] = flax.serialization.from_state_dict(
+                    getattr(target, k), raw[k])
+        restored = target.replace(**updates)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, target)
     log.info("restored checkpoint %s", path)
     return restored

@@ -48,11 +48,17 @@ def test_cater_execute_set_builders(rng):
     v = get_vocab("cater")
     specs = A.cater_execute_set(v)
     assert [s["action_name"] for s in specs] == ["converge", "swap"]
-    objs = np.zeros((1, 5, 4))
-    boxes = rng.uniform(0.1, 0.5, (1, 3, 5, 4)).astype(np.float32)
+    # 4 real objects + dummy + padding slot (padded batch layout).
+    objs = np.zeros((1, 6, 4), np.int64)
+    objs[0, :4] = 1
+    boxes = rng.uniform(0.1, 0.5, (1, 3, 6, 4)).astype(np.float32)
     for s in specs:
         out = s["action_func"](objs, None, boxes)
         assert out.ndim == 2 and out.shape[1] == 7
+    # converge must only target the 4 real objects (subjects 1..3).
+    conv = specs[0]["action_func"](objs, None, boxes)
+    assert conv.shape[0] == 3
+    assert conv[:, 0].max() == 3
 
 
 def test_run_args_vocab_roundtrip(tmp_path):
