@@ -233,3 +233,39 @@ def test_smth_dataset_end_to_end(smth_root):
     assert int(actions[0, 0]) == 1 and int(actions[0, 2]) == 0
     # Boxes move with the object annotation over time.
     assert boxes[1, 0, 0] > boxes[0, 0, 0]
+
+
+# ------------------------------------------------- shipped split files
+def test_shipped_split_files_match_reference_counts():
+    """The reference partition files ship with the package (data constants;
+    reference data/CATER/*.txt + data/SomethingElse/*.csv) and resolve as
+    the from_config defaults."""
+    pkg_data = os.path.dirname(
+        os.path.abspath(__import__("ag2video_tpu.data.cater",
+                                   fromlist=["x"]).__file__))
+    cater_dir = os.path.join(pkg_data, "CATER")
+    smth_dir = os.path.join(pkg_data, "SomethingElse")
+    expect = {
+        os.path.join(cater_dir, "train.txt"): 3849,
+        os.path.join(cater_dir, "val_split.txt"): 495,
+        os.path.join(cater_dir, "test_split.txt"): 1156,
+        os.path.join(smth_dir, "train.csv"): 10543,
+        os.path.join(smth_dir, "val_split.csv"): 850,
+        os.path.join(smth_dir, "test_split.csv"): 1983,
+    }
+    for path, n in expect.items():
+        assert os.path.exists(path), path
+        with open(path) as f:
+            assert sum(1 for _ in f) == n, path
+
+    # from_config resolves the shipped CATER splits without any data root:
+    # with no videos dir, all non-corrupt split names survive.
+    for env in ("CATER_DATA_ROOT", "CATER_SPLITS_DIR"):
+        assert env not in os.environ or pytest.skip(f"{env} set externally")
+    cfg = Config(dataset="cater", image_size=(64, 64), frames_per_action=4)
+    ds = CATERDataset.from_config("val", cfg)
+    assert len(ds.vid_names) > 0
+    with open(os.path.join(cater_dir, "val_split.txt")) as f:
+        raw = [ln.split(" ")[0].split(".")[0] for ln in f if ln.strip()]
+    from ag2video_tpu.data.cater import CORRUPT_VIDEOS
+    assert ds.vid_names == [n for n in raw if n not in CORRUPT_VIDEOS]
