@@ -46,6 +46,14 @@ class Config:
     number_of_objects: int = 7
     dataset_size: int = 1000
     grid_size: int = 512
+    # "linear": boxes follow the action semantics literally (a static rule
+    # can express them). "hard": shape-dependent curved (Bezier)
+    # trajectories, size-dependent easing, relation-dependent follower
+    # motion and distractor actions — dynamics only a model that reads the
+    # graph can express; used to demonstrate the GCN learns non-trivial
+    # dynamics (the capability the reference exists for,
+    # reference models/graph_models/model.py:99-174).
+    synthetic_dynamics: str = "linear"  # linear | hard
 
     # Optimization (reference: data/args.py:26-30, 144-149, 158)
     graph_only: bool = False

@@ -47,6 +47,7 @@ def get_dataset(name: str, partition: str, cfg: Config):
             number_of_objects=min(cfg.number_of_objects, cfg.max_objects - 1),
             seed=cfg.seed,
             max_actions=cfg.max_actions,
+            dynamics=cfg.synthetic_dynamics,
         )
     if name == "cater":
         from ag2video_tpu.data.cater import CATERDataset

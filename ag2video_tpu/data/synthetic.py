@@ -48,13 +48,17 @@ class SyntheticDataset:
         number_of_objects: int = 5,
         seed: int = 0,
         max_actions: int = 2,
+        dynamics: str = "linear",
     ):
+        if dynamics not in ("linear", "hard"):
+            raise ValueError(f"unknown dynamics {dynamics!r}")
         self.partition = partition
         self.image_size = image_size
         self.frames = frames_per_action
         self.size = dataset_size
         self.num_objects = number_of_objects
         self.max_actions = max_actions
+        self.dynamics = dynamics
         # Distinct index spaces per partition.
         self.seed = seed + {"train": 0, "train_graph": 0, "val": 10_000_000,
                             "test": 20_000_000}.get(partition, 0)
@@ -78,6 +82,7 @@ class SyntheticDataset:
         pos0 = rng.uniform(0.05, 0.95 - extents[:, None], (O, 2)).astype(np.float32)
 
         # Actions: slide K objects to random targets over sub-windows.
+        hard = self.dynamics == "hard"
         n_act = rng.randint(1, self.max_actions + 1)
         subjects = rng.choice(O, size=n_act, replace=False)
         slide_idx = v["action_name_to_idx"]["_slide"]
@@ -99,27 +104,75 @@ class SyntheticDataset:
                             float(x_end), float(y_end)])
             targets[s] = np.array([x_end, y_end], np.float32)
             windows[s] = (t1, t2)
+
+        # "hard" dynamics — deterministic functions of the *graph* that the
+        # literal action-semantics rule cannot express:
+        #   (1) relation-dependent motion: a free object per subject becomes
+        #       a follower (triplet `(follower, follows, subject)`), rigidly
+        #       translating with the subject;
+        #   (2) distractor actions: a `_no_op` row with a tempting
+        #       (x_end, y_end) that causes no motion;
+        #   (3) curved trajectories: subjects move on a quadratic Bezier
+        #       whose control-point offset is perpendicular to the chord,
+        #       signed by shape (square +, disc -, diamond straight);
+        #   (4) attribute-dependent easing: small objects accelerate
+        #       (rel^2), large objects decelerate (1-(1-rel)^2).
+        followers = {}                        # follower -> subject
+        if hard:
+            free = [o for o in range(O) if o not in targets]
+            rng.shuffle(free)
+            for s in subjects:
+                if not free:
+                    break
+                followers[free.pop()] = int(s)
+            if free and len(actions) < self.max_actions \
+                    and rng.rand() < 0.5:
+                d = free[0]
+                dx, dy = rng.uniform(0.05, 0.75, 2)
+                actions.append([float(d),
+                                float(v["action_name_to_idx"]["_no_op"]),
+                                float(d), 0.0, 1.0, float(dx), float(dy)])
         norm_actions = np.array(actions, np.float32)
+
+        def subject_pos(o: int, t: int) -> np.ndarray:
+            """Position of acted subject `o` at frame t (top-left corner)."""
+            t1, t2 = windows[o]
+            rel = (t / F) * (t2 - t1 + 1e-6) + t1
+            rel = float(np.clip(rel, 0.0, 1.0))
+            p0, p1 = pos0[o], targets[o]
+            if not hard:
+                return p0 * (1 - rel) + p1 * rel
+            e = rel * rel if sizes[o] == 1 else 1.0 - (1.0 - rel) ** 2
+            kappa = {1: 0.30, 2: -0.30, 3: 0.0}[int(shapes[o])]
+            chord = p1 - p0
+            ctrl = (p0 + p1) / 2 + kappa * np.array(
+                [-chord[1], chord[0]], np.float32)
+            return ((1 - e) ** 2 * p0 + 2 * e * (1 - e) * ctrl
+                    + e * e * p1).astype(np.float32)
 
         # Box rollout following the action-clock semantics exactly
         # (progress rel(t) = (t/F)*(t2-t1+eps)+t1, clipped to [0,1]).
         boxes = np.zeros((F, O + 1, 4), np.float32)
         for t in range(F):
             for o in range(O):
-                p = pos0[o].copy()
                 if o in targets:
-                    t1, t2 = windows[o]
-                    rel = (t / F) * (t2 - t1 + 1e-6) + t1
-                    rel = np.clip(rel, 0.0, 1.0)
-                    p = pos0[o] * (1 - rel) + targets[o] * rel
+                    p = subject_pos(o, t)
+                elif o in followers:
+                    s = followers[o]
+                    p = pos0[o] + (subject_pos(s, t) - pos0[s])
+                else:
+                    p = pos0[o]
                 boxes[t, o] = [p[0], p[1], extents[o], extents[o]]
             boxes[t, O] = [0.0, 0.0, 1.0, 1.0]  # dummy __image__ object
 
-        # Trivial __in_image__ triplets (reference cater.py:165-178).
+        # Trivial __in_image__ triplets (reference cater.py:165-178), plus
+        # the `follows` relation edges under hard dynamics.
         in_image = v["pred_name_to_idx"]["__in_image__"]
-        triplets = np.array(
-            [[[o, in_image, O] for o in range(O)] for _ in range(F)],
-            np.int64)
+        rows = [[o, in_image, O] for o in range(O)]
+        if followers:
+            follows = v["pred_name_to_idx"]["follows"]
+            rows += [[f, follows, s] for f, s in sorted(followers.items())]
+        triplets = np.array([rows for _ in range(F)], np.int64)
 
         objs: Dict[str, np.ndarray] = {
             "shape": np.concatenate([shapes, [0]]).astype(np.int64),

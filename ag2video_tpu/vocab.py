@@ -98,7 +98,7 @@ def synthetic_vocab() -> Dict[str, Any]:
     vocab: Dict[str, Any] = {}
     vocab["pred_name_to_idx"] = {
         "__in_image__": 0, "right": 1, "above": 2, "below": 3, "left": 4,
-        "__padding__": 5,
+        "follows": 5, "__padding__": 6,
     }
     vocab["action_name_to_idx"] = {
         "__in_image__": 0, "_no_op": 1, "_slide": 2, "_pick_place": 3,

@@ -1,0 +1,110 @@
+"""Hard-dynamics synthetic variant: dynamics a static rule cannot express.
+
+The rule baseline implements the literal action semantics (linear
+interpolation to (x_end, y_end) under the action clock); the "hard"
+variant's curved/eased trajectories, follower relations, and distractor
+actions are deterministic functions of the *graph* that the rule gets
+wrong — the testbed for demonstrating the GCN learns non-trivial dynamics
+(the capability the reference exists for,
+reference models/graph_models/model.py:99-174)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ag2video_tpu.data.collate import collate
+from ag2video_tpu.data.synthetic import SyntheticDataset
+from ag2video_tpu.models.rule_baseline import rule_based_boxes
+from ag2video_tpu.ops.metrics import iou_stats
+from ag2video_tpu.vocab import synthetic_vocab
+
+V = synthetic_vocab()
+FOLLOWS = V["pred_name_to_idx"]["follows"]
+SLIDE = V["action_name_to_idx"]["_slide"]
+NO_OP = V["action_name_to_idx"]["_no_op"]
+
+
+def _hard_ds(**kw):
+    kw.setdefault("dynamics", "hard")
+    kw.setdefault("frames_per_action", 8)
+    kw.setdefault("number_of_objects", 5)
+    kw.setdefault("max_actions", 2)
+    kw.setdefault("dataset_size", 64)
+    return SyntheticDataset(**kw)
+
+
+def test_follower_moves_in_lockstep_with_subject():
+    ds = _hard_ds(seed=3, max_actions=1)
+    seen = 0
+    for i in range(32):
+        _, _, boxes, trip, _, _ = ds[i]
+        rows = trip[0][trip[0][:, 1] == FOLLOWS]
+        for f, _, s in rows:
+            d_f = boxes[:, f, :2] - boxes[0, f, :2]
+            d_s = boxes[:, s, :2] - boxes[0, s, :2]
+            np.testing.assert_allclose(d_f, d_s, atol=1e-6)
+            assert np.abs(d_s).max() > 0.0  # subject actually moves
+            seen += 1
+    assert seen > 10
+
+
+def test_curved_trajectory_deviates_from_linear_rule():
+    """Square/disc subjects bow away from the straight chord mid-path."""
+    ds = _hard_ds(seed=0)
+    max_dev = 0.0
+    for i in range(64):
+        _, objs, boxes, _, actions, _ = ds[i]
+        for s, a, _, t1, t2, xe, ye in actions:
+            if int(a) != SLIDE:
+                continue
+            s = int(s)
+            F = boxes.shape[0]
+            p0 = boxes[0, s, :2]
+            for t in range(F):
+                rel = np.clip((t / F) * (t2 - t1 + 1e-6) + t1, 0, 1)
+                lin = p0 * (1 - rel) + np.array([xe, ye]) * rel
+                max_dev = max(max_dev,
+                              float(np.abs(boxes[t, s, :2] - lin).max()))
+    assert max_dev > 0.05, max_dev
+
+
+def test_distractor_actions_cause_no_motion():
+    ds = _hard_ds(seed=1)
+    seen = 0
+    for i in range(64):
+        _, _, boxes, trip, actions, _ = ds[i]
+        followers = set(trip[0][trip[0][:, 1] == FOLLOWS][:, 0])
+        for s, a, *_ in actions:
+            if int(a) == NO_OP and int(s) not in followers:
+                assert float(np.ptp(boxes[:, int(s)], axis=0).max()) == 0.0
+                seen += 1
+    assert seen > 3
+
+
+def test_linear_mode_unchanged_and_deterministic():
+    a = SyntheticDataset(dynamics="linear", dataset_size=4)[2]
+    b = SyntheticDataset(dynamics="linear", dataset_size=4)[2]
+    np.testing.assert_array_equal(a[2], b[2])
+    # No follows edges, no distractors in linear mode.
+    assert not (a[3][..., 1] == FOLLOWS).any()
+
+
+def test_rule_baseline_fails_on_hard_dynamics():
+    """The gap the learned model must exploit: rule IoU drops by >0.2."""
+    scores = {}
+    for dyn in ("linear", "hard"):
+        ds = SyntheticDataset(
+            partition="val", dynamics=dyn, frames_per_action=8,
+            number_of_objects=5, max_actions=2, dataset_size=32, seed=123)
+        b = collate([ds[i] for i in range(32)], V,
+                    max_objects=8, max_triplets=8, max_actions=2)
+        rule = np.clip(np.asarray(rule_based_boxes(
+            jnp.asarray(b.objs), jnp.asarray(b.triplets),
+            jnp.asarray(b.actions), jnp.asarray(b.boxes), V)), 0, 1)
+        mask = np.broadcast_to((b.objs[..., 0] != 0)[:, None, :],
+                               b.boxes[:, 1:].shape[:-1])
+        s, _, _, n = iou_stats(jnp.asarray(rule[:, 1:]),
+                               jnp.asarray(b.boxes[:, 1:]),
+                               jnp.asarray(mask))
+        scores[dyn] = float(s) / float(n)
+    assert scores["linear"] > 0.9, scores
+    assert scores["hard"] < scores["linear"] - 0.2, scores
