@@ -12,6 +12,7 @@ present, else random init (flagged).
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -19,6 +20,28 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+_ASSETS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets")
+DEFAULT_WEIGHTS = {
+    "tsm": os.path.join(_ASSETS, "tsm.npz"),
+    "resnext": os.path.join(_ASSETS, "resnext3d.npz"),
+}
+
+
+def load_backbone_params(backbone: str, path: Optional[str] = None):
+    """Ported Kinetics weights from the .npz asset
+    (scripts/port_torch_weights.py --net tsm|resnext3d), or None."""
+    import pickle
+
+    import numpy as np
+
+    path = path or DEFAULT_WEIGHTS.get(backbone)
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path, allow_pickle=True)
+    return pickle.loads(data["params"].tobytes()) if "params" in data else None
 
 
 # ---------------------------------------------------------------- TSM

@@ -19,7 +19,7 @@ import numpy as np
 
 from ag2video_tpu.eval.fid import cached_features, fid_from_features
 from ag2video_tpu.eval.prd import prd_from_embedding
-from ag2video_tpu.eval.video_backbones import BACKBONES
+from ag2video_tpu.eval.video_backbones import BACKBONES, load_backbone_params
 
 log = logging.getLogger(__name__)
 
@@ -68,6 +68,8 @@ class VideoFeatureExtractor:
         self.n_frames = n_frames
         self.size = size
         self.batch_size = batch_size
+        if params is None:
+            params = load_backbone_params(backbone)
         self.random_init = params is None
         if params is None:
             params = jax.jit(self.model.init)(

@@ -3,7 +3,8 @@
 Reference: models/spade_models/networks/architecture.py:93-123 — torchvision
 VGG19 sliced at relu1_1/relu2_1/relu3_1/relu4_1/relu5_1. Reimplemented in
 flax (NHWC); pretrained weights are loaded from an .npz asset when present
-(`scripts/port_vgg_weights.py` converts a torch state dict), otherwise the
+(`scripts/port_torch_weights.py --net vgg19` converts a raw torch state
+dict), otherwise the
 loss still functions as a random-projection feature loss (documented
 divergence: torchvision pretrained weights are not downloadable in a
 zero-egress environment).
@@ -63,7 +64,7 @@ def load_vgg19_params(path: str = DEFAULT_WEIGHTS):
     """Load ported VGG19 conv weights from .npz (HWIO kernels), or None.
 
     The .npz stores conv_{i}_kernel / conv_{i}_bias as produced by
-    scripts/port_vgg_weights.py.
+    scripts/port_torch_weights.py --net vgg19.
     """
     if not os.path.exists(path):
         return None

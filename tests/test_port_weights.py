@@ -1,0 +1,251 @@
+"""Round-trip tests for the pretrained-weight port path.
+
+For each backbone we fabricate a torch-layout state dict whose shapes come
+from the flax module's own init tree (the ground truth), run the porter
+from scripts/port_torch_weights.py, load the result through the consumer's
+loading path, and assert the trees match the flax init tree exactly —
+layer-name coverage, shapes, and values (which verifies the OIHW->HWIO /
+OITHW->THWIO transposes round-trip). No torchvision involved: the porters
+consume raw state dicts, which is the point (VGG19 source:
+reference models/spade_models/networks/architecture.py:96; Kinetics
+TSM/ResNeXt sources: reference evaluation/video/inception.py:36-44)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scripts.port_torch_weights import (
+    load_state_dict,
+    main as port_main,
+    port_inception,
+    port_lpips_alex,
+    port_resnext3d,
+    port_tsm,
+    port_vgg19,
+)
+
+
+def _fill(tree, counter=[0]):
+    """Deterministic distinct values so transposition errors are caught."""
+    def leaf(x):
+        counter[0] += 1
+        return (np.arange(x.size, dtype=np.float32).reshape(x.shape)
+                + 1000.0 * counter[0])
+    return jax.tree.map(leaf, tree)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _assert_trees_equal(got, want, ctx):
+    fg, fw = _flatten(got), _flatten(want)
+    assert set(fg) == set(fw), (
+        ctx, sorted(set(fw) - set(fg)), sorted(set(fg) - set(fw)))
+    for k in fw:
+        assert fg[k].shape == fw[k].shape, (ctx, k, fg[k].shape, fw[k].shape)
+        np.testing.assert_array_equal(fg[k], fw[k], err_msg=f"{ctx}:{k}")
+
+
+# ------------------------------------------------------------------ VGG19
+VGG19_TORCH_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25,
+                        28, 30, 32, 34]
+
+
+def test_vgg19_roundtrip(tmp_path):
+    from ag2video_tpu.models.vgg import VGG19Features, load_vgg19_params
+
+    model = VGG19Features()
+    ref = _fill(model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3))))
+    sd = {}
+    for i, ti in enumerate(VGG19_TORCH_CONV_IDX):
+        if f"conv_{i}" in ref["params"]:
+            p = ref["params"][f"conv_{i}"]
+            kernel, bias = np.asarray(p["kernel"]), np.asarray(p["bias"])
+        else:
+            # The flax module stops after the last tapped slice (relu5_1 ==
+            # conv_12); a real torch VGG19 has 16 feature convs, so pad the
+            # fabricated state dict with the 512->512 tail.
+            kernel = np.zeros((3, 3, 512, 512), np.float32)
+            bias = np.zeros((512,), np.float32)
+        sd[f"features.{ti}.weight"] = kernel.transpose(3, 2, 0, 1)
+        sd[f"features.{ti}.bias"] = bias
+    out = str(tmp_path / "vgg19.npz")
+    port_vgg19(sd, out)
+    got = load_vgg19_params(out)
+    # The flax module only defines convs up to the last tapped slice
+    # (relu5_1 == conv_12); the porter keeps all 16 for completeness.
+    want = {"params": {k: ref["params"][k] for k in ref["params"]}}
+    got["params"] = {k: v for k, v in got["params"].items()
+                     if k in want["params"]}
+    _assert_trees_equal(got, want, "vgg19")
+
+
+def test_vgg19_cli_accepts_raw_npz_state_dict(tmp_path):
+    """End-to-end CLI: --state_dict as .npz of raw torch-layout arrays."""
+    rng = np.random.RandomState(0)
+    sd = {}
+    cfg = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512,
+           512, 512, 512, 512]
+    cin = 3
+    for ti, c in zip(VGG19_TORCH_CONV_IDX, cfg):
+        sd[f"features.{ti}.weight"] = rng.randn(c, cin, 3, 3).astype(
+            np.float32)
+        sd[f"features.{ti}.bias"] = rng.randn(c).astype(np.float32)
+        cin = c
+    sd_path = str(tmp_path / "raw_sd.npz")
+    np.savez(sd_path, **sd)
+    out = str(tmp_path / "vgg19.npz")
+    port_main(["--net", "vgg19", "--state_dict", sd_path, "--out", out])
+    data = np.load(out)
+    assert data["conv_0_kernel"].shape == (3, 3, 3, 64)
+    np.testing.assert_array_equal(
+        data["conv_0_kernel"], sd["features.0.weight"].transpose(2, 3, 1, 0))
+
+
+# ------------------------------------------------------------------ LPIPS
+def test_lpips_alex_roundtrip(tmp_path):
+    from ag2video_tpu.eval.lpips import LPIPS, AlexNetFeatures
+
+    net = AlexNetFeatures()
+    ref = _fill(net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    torch_idx = [0, 3, 6, 8, 10]
+    sd = {}
+    for i, ti in enumerate(torch_idx):
+        p = ref["params"][f"conv{i}"]
+        sd[f"features.{ti}.weight"] = np.asarray(p["kernel"]).transpose(
+            3, 2, 0, 1)
+        sd[f"features.{ti}.bias"] = np.asarray(p["bias"])
+    lins = {f"lin{i}.model.1.weight":
+            np.arange(c, dtype=np.float32).reshape(1, c, 1, 1)
+            for i, c in enumerate((64, 192, 384, 256, 256))}
+    out = str(tmp_path / "lpips_alex.npz")
+    port_lpips_alex(sd, out, lins)
+    lp = LPIPS(weights_path=out)
+    assert not lp.random_init
+    _assert_trees_equal(lp.params, ref, "lpips")
+    for i, c in enumerate((64, 192, 384, 256, 256)):
+        np.testing.assert_array_equal(
+            lp.lin_weights[i], np.arange(c, dtype=np.float32))
+
+
+# -------------------------------------------------------------- Inception
+@pytest.mark.slow
+def test_inception_roundtrip(tmp_path):
+    from ag2video_tpu.eval.inception import InceptionV3, load_inception_params
+
+    model = InceptionV3()
+    ref = _fill(model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 299, 299, 3))))
+    sd = {}
+
+    def emit_block(prefix, p, s):
+        sd[f"{prefix}.conv.weight"] = np.asarray(
+            p["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+
+    for name, p in ref["params"].items():
+        if name == "fc":
+            sd["fc.weight"] = np.asarray(p["kernel"]).T
+            sd["fc.bias"] = np.asarray(p["bias"])
+        elif "conv" in p:  # stem block
+            emit_block(name, p, ref["batch_stats"][name])
+        else:  # mixed block of branches
+            for b, bp in p.items():
+                emit_block(f"{name}.{b}", bp, ref["batch_stats"][name][b])
+
+    out = str(tmp_path / "inception_v3.npz")
+    port_inception(sd, out)
+    got = load_inception_params(out)
+    _assert_trees_equal(got, ref, "inception")
+
+
+# ---------------------------------------------------------- TSM / ResNeXt
+def _emit_resnet_sd(ref, kernel_back, wrap_net=False):
+    """flax tree -> torch-layout sd, with optional TSM '.net' conv wrapper
+    and 'module.base_model.' prefix to exercise key normalization."""
+    sd = {}
+
+    def emit_bn(prefix, p, s):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(s["var"])
+
+    for name, p in ref["params"].items():
+        s = ref["batch_stats"].get(name, {})
+        if name == "conv1":
+            sd["conv1.weight"] = kernel_back(np.asarray(p["kernel"]))
+        elif name == "bn1":
+            emit_bn("bn1", p, ref["batch_stats"]["bn1"])
+        else:
+            stage, b = name.replace("layer", "").split("_")
+            t = f"layer{stage}.{b}"
+            for j in (1, 2, 3):
+                key = f"{t}.conv{j}"
+                if wrap_net and j == 1:
+                    key += ".net"  # TemporalShift wrapper naming
+                sd[f"{key}.weight"] = kernel_back(
+                    np.asarray(p[f"conv{j}"]["kernel"]))
+                emit_bn(f"{t}.bn{j}", p[f"bn{j}"], s[f"bn{j}"])
+            if "downsample_conv" in p:
+                sd[f"{t}.downsample.0.weight"] = kernel_back(
+                    np.asarray(p["downsample_conv"]["kernel"]))
+                emit_bn(f"{t}.downsample.1", p["downsample_bn"],
+                        s["downsample_bn"])
+    prefix = "module.base_model." if wrap_net else "module."
+    return {prefix + k: v for k, v in sd.items()}
+
+
+@pytest.mark.slow
+def test_tsm_roundtrip(tmp_path):
+    from ag2video_tpu.eval.video_backbones import (
+        TSMResNet50, load_backbone_params)
+
+    model = TSMResNet50()
+    ref = _fill(model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2, 64, 64, 3))))
+    sd = _emit_resnet_sd(ref, lambda k: k.transpose(3, 2, 0, 1),
+                         wrap_net=True)
+    out = str(tmp_path / "tsm.npz")
+    port_tsm(sd, out)
+    got = load_backbone_params("tsm", out)
+    _assert_trees_equal(got, ref, "tsm")
+
+
+@pytest.mark.slow
+def test_resnext3d_roundtrip(tmp_path):
+    from ag2video_tpu.eval.video_backbones import (
+        ResNeXt3D101, load_backbone_params)
+
+    model = ResNeXt3D101()
+    ref = _fill(model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 32, 32, 3))))
+    sd = _emit_resnet_sd(ref, lambda k: k.transpose(4, 3, 0, 1, 2))
+    out = str(tmp_path / "resnext3d.npz")
+    port_resnext3d(sd, out)
+    got = load_backbone_params("resnext", out)
+    _assert_trees_equal(got, ref, "resnext3d")
+
+
+def test_load_state_dict_unwraps_checkpoint_dict(tmp_path):
+    """Kinetics checkpoints wrap the weights as {'state_dict': ...}."""
+    torch = pytest.importorskip("torch")
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"state_dict": {"conv1.weight": torch.ones(2, 3)},
+                "epoch": 7}, path)
+    sd = load_state_dict(path)
+    assert set(sd) == {"conv1.weight"}
+    np.testing.assert_array_equal(sd["conv1.weight"], np.ones((2, 3)))
