@@ -1,4 +1,26 @@
-"""Mesh construction and sharding helpers."""
+"""Mesh construction and sharding helpers.
+
+Multi-host launch contract
+--------------------------
+One JAX process per host, standard initialization
+(`jax.distributed.initialize()` or the TPU pod runtime's automatic env).
+Then everything here follows two rules:
+
+1. Compute: build ONE global mesh (`make_mesh()` uses `jax.devices()`,
+   which is global) and `jit` the train step over it. XLA inserts the
+   cross-host collectives (gradient all-reduce, SyncBN statistics) over
+   ICI automatically.
+2. Input: each host feeds only its own slice of the global batch —
+   construct loaders with `Loader(host_index=jax.process_index(),
+   host_count=jax.process_count())`. The index stride partitions every
+   epoch disjointly and exhaustively
+   (tests/test_parallel.py::test_per_host_input_sharding), replacing the
+   reference's DistributedSampler hook (reference scripts/train.py:128-133,
+   which is dead code upstream).
+
+`scripts/train.py` wires both rules already; a pod launch needs no flags
+beyond the ambient TPU runtime.
+"""
 
 from __future__ import annotations
 
