@@ -238,11 +238,14 @@ class Layout2VidGenerator(nn.Module):
                 [seg[:, i:i + n_gen] for i in range(ncond + 1)], axis=-1
             )  # (B, n_gen, H, W, n_frames_G * Dseg)
 
-        # Autoregressive + train (bp_prev) would mutate broadcast BN/spectral
-        # state inside nn.scan (a hard error); run the scanned step with
-        # eval-mode norms — gradients still flow through all params
-        # (documented divergence, DESIGN.md §9).
-        step_train = train and teacher_forced
+        # bp_prev (autoregressive training, reference generator.py:68-71):
+        # the mutable norm state (BN running stats, spectral power
+        # iteration) is threaded through the scan as a *carry*, so each
+        # generated frame updates it sequentially — exactly torch's
+        # per-forward update semantics. At init the collections don't exist
+        # yet, so they're broadcast (flax traces the body once); see the
+        # scan construction below.
+        step_train = train
         step_kwargs = dict(
             semantic_nc=self.semantic_nc, n_frames_G=self.n_frames_G,
             ngf=self.ngf, norm_G=self.norm_G, norm_F=self.norm_F,
@@ -281,9 +284,20 @@ class Layout2VidGenerator(nn.Module):
                 [imgs_gt[:, i] for i in range(ncond)], axis=-1
             )  # (B, H, W, ncond*3)
             xs = jax.tree.map(lambda a: jnp.moveaxis(a, 1, 0), windows)
+            # Train-mode AR (bp_prev): carry the mutable collections so
+            # per-frame updates compose sequentially. Eval-mode AR (test
+            # generation) mutates nothing, so broadcast is fine. During
+            # init the collections must be broadcast — they are created on
+            # the single traced iteration and don't exist as carry inputs.
+            carry_cols = (
+                ["batch_stats", "spectral"]
+                if train and not self.is_initializing() else [])
             scan_step = nn.scan(
                 step_cls,
-                variable_broadcast=["params", "batch_stats", "spectral"],
+                variable_broadcast=[c for c in
+                                    ("params", "batch_stats", "spectral")
+                                    if c not in carry_cols],
+                variable_carry=carry_cols,
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,

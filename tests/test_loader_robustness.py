@@ -112,8 +112,13 @@ def test_collate_skips_cap_violating_sample():
 
 @pytest.mark.slow
 def test_bp_prev_training_runs(rng):
-    """Autoregressive training (bp_prev) must not crash the scan
-    (previously: broadcast-variable mutation error)."""
+    """bp_prev training parity (reference generator.py:68-71): the AR scan
+    runs with TRAIN-mode norms — BN running stats and spectral power
+    iteration are carried through the scan and update per generated frame
+    (torch per-forward semantics) — with finite grads, and a short
+    convergence loop makes progress."""
+    import jax
+
     from ag2video_tpu.data.registry import Loader as L
     from ag2video_tpu.data.registry import get_dataset
     from ag2video_tpu.train.trainer import Trainer
@@ -125,5 +130,23 @@ def test_bp_prev_training_runs(rng):
     tr = Trainer(cfg, vocab)
     b = next(loader.epoch(0))
     tr.init(b)
+    stats0 = jax.tree.map(np.asarray, tr.state.model_state["batch_stats"])
     m = tr.train_step(b)
     assert np.isfinite(float(m["G/total_loss"]))
+    # Train-mode norms inside the scan: running stats must have moved.
+    stats1 = tr.state.model_state["batch_stats"]
+    moved = any(
+        float(np.abs(np.asarray(a) - np.asarray(bb)).max()) > 0
+        for a, bb in zip(jax.tree.leaves(stats0), jax.tree.leaves(stats1)))
+    assert moved, "AR scan ran with eval-mode norms (batch_stats frozen)"
+    # Short convergence run: graph loss decreases, no NaN-skips.
+    first = last = None
+    for i, batch in enumerate(loader.epoch(1)):
+        mm = tr.graph_step(batch)
+        val = float(mm["Graph/total_loss"])
+        first = val if first is None else first
+        last = val
+        if i >= 7:
+            break
+    assert np.isfinite(last) and last < first
+    assert int(tr.state.skipped_nan) == 0
