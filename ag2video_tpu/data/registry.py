@@ -48,6 +48,11 @@ def get_dataset(name: str, partition: str, cfg: Config):
             seed=cfg.seed,
             max_actions=cfg.max_actions,
             dynamics=cfg.synthetic_dynamics,
+            # Graph-only training reads boxes, never pixels; skip the
+            # host-side analytic renderer for the training partitions
+            # (val/test still render so check_model artifacts are real).
+            render=not (cfg.graph_only
+                        and partition in ("train", "train_graph")),
         )
     if name == "cater":
         from ag2video_tpu.data.cater import CATERDataset
@@ -103,8 +108,6 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
-        n_ds = len(self.ds)
-
         def fetch(i: int):
             """One sample, or None if corrupt: CATER returns None tuples
             (cater.py:387), SmthElse returns (False, reason)
@@ -133,12 +136,14 @@ class Loader:
                     # Refill to the static batch size: corrupt samples are
                     # replaced by neighboring indices so shapes stay fixed
                     # (a shrunken batch means an XLA recompile and breaks
-                    # data-axis divisibility under a mesh).
-                    probe = int(batch_idx[-1]) + 1
+                    # data-axis divisibility under a mesh). Probing walks
+                    # this loader's OWN epoch order (idx) — never raw
+                    # dataset indices — so per-host shards stay disjoint.
+                    probe = (bi + 1) * self.batch_size
                     attempts = 0
                     while samples and len(samples) < self.batch_size \
                             and attempts < 4 * self.batch_size:
-                        s = fetch(probe % n_ds)
+                        s = fetch(idx[probe % len(idx)])
                         if s is not None:
                             samples.append(s)
                         probe += 1

@@ -95,3 +95,32 @@ def test_full_train_step_on_mesh(mesh8):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_per_host_input_sharding():
+    """Two Loaders with (host_index=0/1, host_count=2) partition an epoch
+    disjointly and exhaustively — the proven replacement for the
+    reference's dead DistributedSampler hook (scripts/train.py:128-133)."""
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.vocab import get_vocab
+
+    cfg = Config(dataset="synthetic", image_size=(16, 16), batch_size=3,
+                 frames_per_action=2, dataset_size=22, number_of_objects=3,
+                 max_objects=5, max_triplets=6, max_actions=2,
+                 ).derive(get_vocab("synthetic"))
+    ds = get_dataset("synthetic", "train", cfg)
+
+    def ids(host):
+        loader = Loader(ds, cfg, shuffle=False, drop_last=False,
+                        host_index=host, host_count=2)
+        out = []
+        for b in loader.epoch(0):
+            out.extend(b.video_ids)
+        return out
+
+    a, b = ids(0), ids(1)
+    assert set(a).isdisjoint(b)
+    assert set(a) | set(b) == {f"synthetic_train_{i}" for i in range(22)}
+    # Stride layout: host h sees indices h, h+2, h+4, ...
+    assert a[0] == "synthetic_train_0" and b[0] == "synthetic_train_1"
