@@ -195,6 +195,9 @@ class CATERDataset:
         splits_dir = os.environ.get(
             "CATER_SPLITS_DIR",
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "CATER"))
+        # Frame count per video: 301 for the max2action release (reference
+        # cater.py:61); overridable for re-renders / truncated variants.
+        nframes = int(os.environ.get("CATER_NFRAMES", "301"))
         table = {
             "train": dict(split="train.txt",
                           frames=cfg.frames_per_action,
@@ -217,6 +220,7 @@ class CATERDataset:
             is_test=table.get("is_test", False),
             resize_or_crop=cfg.resize_or_crop
             if hasattr(cfg, "resize_or_crop") else "resize",
+            nframes=nframes,
             seed=cfg.seed,
         )
 
