@@ -1,0 +1,93 @@
+"""End-to-end `scripts.evaluate` CLI tests over fabricated artifact dirs.
+
+Mirrors the reference metric-CLI contracts (evaluation/fid/fid_score.py:232,
+PerceptualSimilarity/compute_dists_dirs.py, compute_dists_videos.py) on CPU
+with the in-env (random-init) backbones: determinism and the FID(x,x)=0 /
+LPIPS(x,x)=0 identities hold regardless of weights.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def image_dirs(tmp_path_factory):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    root = tmp_path_factory.mktemp("evalcli")
+    dirs = {}
+    for name in ("a", "b"):
+        d = root / name
+        d.mkdir()
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            ).save(d / f"{i:03}.png")
+        dirs[name] = str(d)
+    return dirs
+
+
+@pytest.fixture(scope="module")
+def video_pkl_dirs(tmp_path_factory):
+    """Paired {'image','box'} pkl dirs (the reference's generated-video
+    artifact contract, evaluation/PerceptualSimilarity/
+    compute_dists_videos.py)."""
+    rng = np.random.RandomState(4)
+    root = tmp_path_factory.mktemp("evalvids")
+    gen, ref = root / "gen", root / "ref"
+    gen.mkdir()
+    ref.mkdir()
+    for i in range(2):
+        vid = rng.rand(2, 64, 64, 3).astype(np.float32)
+        boxes = rng.rand(2, 4, 4).astype(np.float32)
+        for d, arr in ((gen, vid), (ref, vid + (0.2 if i else 0.0))):
+            with open(d / f"vid_{i}.pkl", "wb") as f:
+                pickle.dump({"image": arr, "box": boxes}, f)
+    return str(gen), str(ref)
+
+
+def test_image_fid_identity_and_determinism(image_dirs):
+    from scripts.evaluate import main
+
+    r_same = main(["image_fid", image_dirs["a"], image_dirs["a"]])
+    assert abs(r_same["image_fid"]) < 1e-3  # FID(x, x) = 0
+
+    r1 = main(["image_fid", image_dirs["a"], image_dirs["b"]])
+    r2 = main(["image_fid", image_dirs["a"], image_dirs["b"]])
+    assert r1["image_fid"] == r2["image_fid"]  # deterministic
+    assert r1["image_fid"] > 0
+
+
+def test_lpips_dirs_identity(image_dirs):
+    from scripts.evaluate import main
+
+    r_same = main(["lpips_dirs", image_dirs["a"], image_dirs["a"]])
+    assert r_same["n_pairs"] == 4
+    assert abs(r_same["lpips"]) < 1e-6
+
+    r_diff = main(["lpips_dirs", image_dirs["a"], image_dirs["b"]])
+    assert r_diff["lpips"] > 0
+
+
+def test_lpips_videos_pkl_contract(video_pkl_dirs):
+    from scripts.evaluate import main
+
+    gen, ref = video_pkl_dirs
+    r = main(["lpips_videos", gen, ref])
+    assert r["n_pairs"] == 2
+    assert np.isfinite(r["lpips"]) and r["lpips"] > 0
+    # Identity: same dir on both sides -> 0.
+    r0 = main(["lpips_videos", gen, gen])
+    assert abs(r0["lpips"]) < 1e-6
+
+
+def test_inception_score_mode(image_dirs):
+    from scripts.evaluate import main
+
+    r = main(["is", image_dirs["a"]])
+    assert r["inception_mean"] >= 1.0 - 1e-5
+    assert np.isfinite(r["inception_std"])
