@@ -49,6 +49,7 @@ class SyntheticDataset:
         seed: int = 0,
         max_actions: int = 2,
         dynamics: str = "linear",
+        render: bool = True,
     ):
         if dynamics not in ("linear", "hard"):
             raise ValueError(f"unknown dynamics {dynamics!r}")
@@ -59,6 +60,10 @@ class SyntheticDataset:
         self.num_objects = number_of_objects
         self.max_actions = max_actions
         self.dynamics = dynamics
+        # Graph-only training never reads pixels; skipping the analytic
+        # renderer removes the host-side bottleneck (the loss uses boxes
+        # only — registry.py passes render=False for those loaders).
+        self.render = render
         # Distinct index spaces per partition.
         self.seed = seed + {"train": 0, "train_graph": 0, "val": 10_000_000,
                             "test": 20_000_000}.get(partition, 0)
@@ -180,7 +185,13 @@ class SyntheticDataset:
             "size": np.concatenate([sizes, [0]]).astype(np.int64),
         }
 
-        vids = self._render(boxes[:, :O], shapes, colors)
+        if self.render:
+            vids = self._render(boxes[:, :O], shapes, colors)
+        else:
+            H, W = self.image_size
+            vids = np.broadcast_to(
+                ((0.12 - IMG_MEAN) / IMG_STD).astype(np.float32),
+                (F, H, W, 3)).copy()
         video_id = f"synthetic_{self.partition}_{index}"
         return vids, objs, boxes, triplets, norm_actions, video_id
 

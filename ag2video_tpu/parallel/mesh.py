@@ -74,7 +74,8 @@ def shard_batch(batch: Any, mesh: Mesh, spatial: bool = False) -> Any:
     s_video = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
 
     def place(x):
-        if spatial and hasattr(x, "ndim") and x.ndim == 5:
+        if (spatial and hasattr(x, "ndim") and x.ndim == 5
+                and x.shape[2] % mesh.shape[MODEL_AXIS] == 0):
             return jax.device_put(x, s_video)
         return jax.device_put(x, s_batch)
 

@@ -238,13 +238,39 @@ class Trainer:
         return metrics
 
     def graph_step(self, batch: Batch) -> Dict[str, float]:
-        b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
+        d = batch.as_dict()
+        # The graph-only loss never reads pixels (meta.py returns before the
+        # generator); don't ship (B,T,H,W,3) frames over the host->device
+        # link — on long graph clips they dominate transfer time. A
+        # rank-preserving 1x1 stub keeps the jit signature stable.
+        d["imgs"] = np.zeros(d["imgs"].shape[:2] + (1, 1, 3), np.float32)
+        b = self._place({k: jnp.asarray(v) for k, v in d.items()})
         self.state, metrics = self._graph_step(self.state, b)
         return metrics
 
     def eval_batch(self, batch: Batch, use_gt: bool):
         b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
         return self._eval_forward(self.state, b, use_gt)
+
+    # ------------------------------------------------------------------
+    def spectral_stats(self) -> Dict[str, float]:
+        """Spectral-norm telemetry: min/mean/max of every power-iteration
+        sigma in G and D. Monitors the documented divergence from torch's
+        per-forward updates (DESIGN.md §9) — drift shows up as unbounded
+        sigma long before losses blow up."""
+        out: Dict[str, float] = {}
+        for tag, tree in (("G", self.state.model_state.get("spectral", {})),
+                          ("D", self.state.d_state.get("spectral", {}))):
+            sigmas = [jnp.ravel(v) for p, v in
+                      jax.tree_util.tree_leaves_with_path(tree)
+                      if "sigma" in jax.tree_util.keystr(p)]
+            if not sigmas:
+                continue
+            s = np.asarray(jnp.concatenate(sigmas))
+            out[f"sigma/{tag}_min"] = float(s.min())
+            out[f"sigma/{tag}_mean"] = float(s.mean())
+            out[f"sigma/{tag}_max"] = float(s.max())
+        return out
 
     # ------------------------------------------------------------------
     def check_model(self, loader, use_gt: bool,
@@ -354,6 +380,8 @@ class Trainer:
 
             if t % log_every == 0:
                 vals = {k: float(v) for k, v in last.items()}
+                if not cfg.graph_only:
+                    vals.update(self.spectral_stats())
                 if timer is not None:
                     vals.update(timer.stats())
                 rate = t / max(time.time() - t0, 1e-9)
@@ -363,4 +391,9 @@ class Trainer:
                     metrics_writer.write(t, vals)
             if cfg.graph_only:
                 self.state = self.state.replace(step=jnp.asarray(t, jnp.int32))
+        # Final checkpoint: the in-loop cadence saves at iteration START, so
+        # the state after the last iterations is never saved in-loop
+        # (reference saves 'latest' on exit, train.py:525-528).
+        if cfg.output_dir and checkpoint_every and t > 0:
+            self.save_checkpoint(cfg.output_dir, t, 0)
         return last

@@ -132,3 +132,13 @@ def test_synthetic_dataset_structure():
     # determinism
     vids2, *_ = ds[0]
     np.testing.assert_array_equal(vids, vids2)
+
+
+def test_spectral_stats_telemetry(trained):
+    """Per-layer spectral-sigma telemetry (DESIGN.md §9 drift monitor)."""
+    _, trainer, _, _, _ = trained
+    stats = trainer.spectral_stats()
+    for tag in ("G", "D"):
+        assert stats[f"sigma/{tag}_max"] >= stats[f"sigma/{tag}_mean"] \
+            >= stats[f"sigma/{tag}_min"] > 0.0
+        assert np.isfinite(stats[f"sigma/{tag}_max"])
