@@ -84,6 +84,8 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """
     H, W, C = x.shape[-3:]
     Ho, Wo = size
+    if (H, W) == (Ho, Wo):  # identity: skip the gather entirely
+        return x
     iy = jnp.floor(jnp.arange(Ho) * (H / Ho)).astype(jnp.int32)
     ix = jnp.floor(jnp.arange(Wo) * (W / Wo)).astype(jnp.int32)
     return x[..., iy, :, :][..., :, ix, :]

@@ -62,6 +62,13 @@ class SPADEGenerator(nn.Module):
     norm_G: str = "spectralspadesyncbatch3x3"
     num_upsampling_layers: str = "normal"  # normal | more | most
     aspect_ratio: float = 1.0
+    # Share one conditioning pyramid across all SPADE norms. The full-res
+    # layout map is the SPADE stack's dominant HBM traffic when every norm
+    # re-reads it (~17 reads of (B',H,W,512) at 256^2); successive 2x
+    # halving builds each level once, reading only the previous level —
+    # exact nearest-neighbor parity for power-of-two ratios
+    # (tests/test_models.py::test_spade_pyramid_equivalence).
+    share_pyramid: bool = True
     dtype: Optional[Dtype] = None
 
     def latent_size(self, out_hw: Tuple[int, int]) -> Tuple[int, int]:
@@ -76,13 +83,30 @@ class SPADEGenerator(nn.Module):
         H, W = layout.shape[-3], layout.shape[-2]
         sh, sw = self.latent_size((H, W))
 
-        x = resize_nearest(layout, (sh, sw))
+        # Conditioning pyramid (see share_pyramid above): level (h, w) is
+        # built from level (2h, 2w), so the full-res map is read once.
+        levels = {(H, W): layout}
+        if self.share_pyramid:
+            h, w = H, W
+            while h % 2 == 0 and w % 2 == 0 and (h > sh or w > sw):
+                h, w = h // 2, w // 2
+                levels[(h, w)] = resize_nearest(levels[(2 * h, 2 * w)],
+                                                (h, w))
+
+        def seg_at(hw):
+            seg = levels.get(hw)
+            # Non-power-of-two ratio (odd aspect): exact direct resize.
+            return seg if seg is not None else resize_nearest(layout, hw)
+
+        x = seg_at((sh, sw)) if self.share_pyramid \
+            else resize_nearest(layout, (sh, sw))
         x = nn.Conv(16 * nf, (3, 3), padding="SAME", dtype=self.dtype,
                     name="fc")(x)
 
         def block(x, fout, name):
+            seg = seg_at(x.shape[-3:-1]) if self.share_pyramid else layout
             return SPADEResnetBlock(fout, self.norm_G, dtype=self.dtype,
-                                    name=name)(x, layout, train)
+                                    name=name)(x, seg, train)
 
         x = block(x, 16 * nf, "head_0")
         x = upsample_nearest(x)

@@ -53,6 +53,37 @@ def grid_sample_2d(
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
 
+    if padding_mode == "border":
+        # Border padding == clamping the *continuous* coordinate (torch
+        # clip_coordinates): after the clamp every base index is interior,
+        # so the 2x2 neighborhood can be packed once (edge-padded
+        # bottom/right) and fetched with ONE gather of 4C-float granules.
+        # TPU gathers are descriptor-bound at small C — one gather with a
+        # 4C granule is ~4x cheaper than four C-granule gathers
+        # (measured 4.98 ms -> see RESULTS.md; the flow-warp hot path,
+        # reference models/utils.py:118-124).
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        x0f = jnp.floor(x)
+        y0f = jnp.floor(y)
+        tx = (x - x0f)[..., None].astype(img.dtype)
+        ty = (y - y0f)[..., None].astype(img.dtype)
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        pad = [(0, 0)] * (img.ndim - 3) + [(0, 1), (0, 1), (0, 0)]
+        imgP = jnp.pad(img, pad, mode="edge")
+        packed = jnp.concatenate(
+            [imgP[..., :H, :W, :], imgP[..., :H, 1:, :],
+             imgP[..., 1:, :W, :], imgP[..., 1:, 1:, :]], axis=-1)
+        flat = packed.reshape(*lead, H * W, 4 * C)
+        idx = (y0 * W + x0).reshape(*lead, Ho * Wo)
+        g = jnp.take_along_axis(flat, idx[..., None], axis=-2)
+        g = g.reshape(*lead, Ho, Wo, 4, C)
+        top = g[..., 0, :] * (1 - tx) + g[..., 1, :] * tx
+        bot = g[..., 2, :] * (1 - tx) + g[..., 3, :] * tx
+        return top * (1 - ty) + bot * ty
+
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     tx = x - x0f

@@ -155,3 +155,30 @@ def test_meta_model_end_to_end(rng):
     out2 = m.apply(vars_, b["imgs"], b["objs"], b["triplets"], b["actions"],
                    b["boxes"], graph_only=True, train=False)
     assert set(out2.keys()) == {"boxes_pred", "actions_data"}
+
+
+def test_spade_pyramid_equivalence(rng):
+    """share_pyramid=True (successive-halving conditioning pyramid) is
+    bit-equivalent to the reference semantics (every norm resizes the
+    full-res map directly) for power-of-two resolutions."""
+    import jax
+
+    from ag2video_tpu.models.spade import SPADEGenerator
+
+    layout = jnp.asarray(rng.randn(2, 64, 64, 24).astype(np.float32))
+    kw = dict(ngf=4, norm_G="spectralspadesyncbatch3x3",
+              num_upsampling_layers="normal")
+    ref = SPADEGenerator(share_pyramid=False, **kw)
+    new = SPADEGenerator(share_pyramid=True, **kw)
+    vs = ref.init(jax.random.PRNGKey(0), layout, True)
+    # Same parameter structure: the pyramid adds no params.
+    vs2 = new.init(jax.random.PRNGKey(0), layout, True)
+    assert jax.tree.structure(vs) == jax.tree.structure(vs2)
+
+    out_ref, st_ref = ref.apply(vs, layout, True,
+                                mutable=["batch_stats", "spectral"])
+    out_new, st_new = new.apply(vs, layout, True,
+                                mutable=["batch_stats", "spectral"])
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
+    for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st_new)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
