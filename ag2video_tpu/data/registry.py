@@ -48,11 +48,12 @@ def get_dataset(name: str, partition: str, cfg: Config):
             seed=cfg.seed,
             max_actions=cfg.max_actions,
             dynamics=cfg.synthetic_dynamics,
-            # Graph-only training reads boxes, never pixels; skip the
-            # host-side analytic renderer for the training partitions
-            # (val/test still render so check_model artifacts are real).
-            render=not (cfg.graph_only
-                        and partition in ("train", "train_graph")),
+            # The graph loss reads boxes, never pixels (meta.py returns
+            # before the generator), so the train_graph partition never
+            # renders; the train partition renders unless graph_only.
+            # val/test always render so check_model artifacts are real.
+            render=not (partition == "train_graph"
+                        or (cfg.graph_only and partition == "train")),
         )
     if name == "cater":
         from ag2video_tpu.data.cater import CATERDataset

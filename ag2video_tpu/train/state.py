@@ -11,6 +11,7 @@ is realized with two `optax.masked` Adams over the one model param tree
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict
 
 import flax
@@ -19,6 +20,8 @@ import jax.numpy as jnp
 import optax
 
 from ag2video_tpu.config import Config
+
+log = logging.getLogger(__name__)
 from ag2video_tpu.models.discriminator import MultiscaleActionDiscriminator
 from ag2video_tpu.models.meta import AG2VideoModel
 from ag2video_tpu.models.vgg import VGG19Features, load_vgg19_params
@@ -156,6 +159,11 @@ def create_train_state(
 
     vgg_vars = load_vgg19_params()
     if vgg_vars is None and not cfg.no_vgg_loss:
+        log.warning(
+            "VGG perceptual loss is running on RANDOM weights (no "
+            "assets/vgg19.npz): measured training-neutral at 256^2 "
+            "(RESULTS.md) but costs ~4%% step time — pass --no_vgg_loss 1 "
+            "to drop it, or port weights via scripts/port_torch_weights.py")
         vgg_vars = jax.jit(vgg.init)(
             k_vgg, jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32))
 

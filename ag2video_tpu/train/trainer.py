@@ -382,6 +382,7 @@ class Trainer:
                 vals = {k: float(v) for k, v in last.items()}
                 if not cfg.graph_only:
                     vals.update(self.spectral_stats())
+                    vals["skipped_nan"] = float(self.state.skipped_nan)
                 if timer is not None:
                     vals.update(timer.stats())
                 rate = t / max(time.time() - t0, 1e-9)
