@@ -134,6 +134,11 @@ class Config:
 
     # Output / checkpointing (reference: data/args.py:85-96)
     timing: bool = False  # reference parses --timing and never reads it
+    # Inception Score over generated frames during the use_gt=True val pass
+    # (the reference computes it at every validation, scripts/train.py:175,
+    # 247; it has no off switch — this flag exists because with no
+    # pretrained asset the score is random-init and only costs time).
+    val_inception: bool = True
     print_every: int = 10
     checkpoint_every: int = 10_000
     output_dir: str = "output/run"

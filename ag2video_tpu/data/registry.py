@@ -140,9 +140,16 @@ class Loader:
                     # data-axis divisibility under a mesh). Probing walks
                     # this loader's OWN epoch order (idx) — never raw
                     # dataset indices — so per-host shards stay disjoint.
+                    # Refill only up to the batch's INTENDED size
+                    # (len(batch_idx)): a naturally short tail batch
+                    # (drop_last=False, zero corrupt samples) needs no
+                    # refill and is yielded short — never padded with
+                    # wrap-around duplicates that would double-count
+                    # samples in val/test metrics.
+                    want = len(batch_idx)
                     probe = (bi + 1) * self.batch_size
                     attempts = 0
-                    while samples and len(samples) < self.batch_size \
+                    while samples and len(samples) < want \
                             and attempts < 4 * self.batch_size:
                         s = fetch(idx[probe % len(idx)])
                         if s is not None:
@@ -151,11 +158,11 @@ class Loader:
                         attempts += 1
                     try:
                         out = self._collate(samples) if len(
-                            samples) == self.batch_size else None
+                            samples) == want else None
                         # collate may itself drop cap-violating samples;
-                        # only full-size batches keep shapes static.
+                        # only intended-size batches keep shapes static.
                         if out is not None and \
-                                out.imgs.shape[0] != self.batch_size:
+                                out.imgs.shape[0] != want:
                             log.warning("batch %d shrank in collate; "
                                         "dropping", bi)
                             out = None

@@ -82,14 +82,20 @@ def compute_generator_loss(
 
     losses: Dict[str, jnp.ndarray] = {}
 
-    pred_fake = d_apply(rel_imgs_pred, objs, rel_boxes, rel_actions)
+    # Fake and (when feature matching is on) real run as ONE batched D
+    # forward: the graph conditioning is shared and the PatchGAN batch
+    # doubles (reference runs D twice, loss_model.py:74-76).
+    if cfg.no_ganFeat_loss:
+        pred_fake = d_apply(rel_imgs_pred, objs, rel_boxes, rel_actions)
+    else:
+        pred_fake, pred_real = d_apply(
+            rel_imgs_pred, objs, rel_boxes, rel_actions, img2=rel_imgs)
     losses["GAN_Img"] = (
         multiscale_gan_loss(pred_fake, True, False, cfg.gan_mode)
         * cfg.discriminator_img_loss_weight
     )
 
     if not cfg.no_ganFeat_loss:
-        pred_real = d_apply(rel_imgs, objs, rel_boxes, rel_actions)
         num_D = len(pred_fake)
         feat = 0.0
         for i in range(num_D):
@@ -140,8 +146,11 @@ def compute_discriminator_loss(
     rel_actions = _slice_actions_data(
         jax.tree.map(jax.lax.stop_gradient, actions_data), ncond)
 
-    pred_fake = d_apply(rel_imgs_pred, objs, rel_boxes, rel_actions)
-    pred_real = d_apply(rel_imgs, objs, rel_boxes, rel_actions)
+    # One batched D forward for fake+real (shared graph conditioning,
+    # doubled PatchGAN batch; the reference pays D twice,
+    # loss_model.py:113-119).
+    pred_fake, pred_real = d_apply(
+        rel_imgs_pred, objs, rel_boxes, rel_actions, img2=rel_imgs)
 
     losses = {
         "D_img_fake": multiscale_gan_loss(pred_fake, False, True, cfg.gan_mode),

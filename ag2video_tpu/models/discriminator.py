@@ -146,7 +146,15 @@ class MultiscaleActionDiscriminator(nn.Module):
         layout_boxes: jnp.ndarray,  # (B, T, O, 4)
         actions_data: Dict[str, jnp.ndarray],
         train: bool = True,
+        img2: Optional[jnp.ndarray] = None,
     ) -> List[List[jnp.ndarray]]:
+        """When `img2` is given (the batched real+fake pass), the graph
+        conditioning — identical for both image sets — is computed ONCE and
+        the PatchGANs run on the stacked 2B*T batch; returns
+        (results_for_img, results_for_img2). Math-identical to two calls
+        (instance-norm D has no cross-batch coupling;
+        tests/test_losses.py::test_batched_real_fake_d_pass); the reference
+        pays the full D twice per step (loss_model.py:74, 113-119)."""
         B, T, H, W, _ = img.shape
         num_attr = len(self.vocab["attributes"])
         cards = {a: max(t.values()) + 1
@@ -196,8 +204,11 @@ class MultiscaleActionDiscriminator(nn.Module):
             mask=jnp.broadcast_to(obj_mask[:, None], (B, T, objs.shape[1])),
         )
 
-        x = jnp.concatenate([img.astype(seg.dtype), seg], axis=-1)
-        x = x.reshape((B * T,) + x.shape[2:])
+        imgs = (img,) if img2 is None else (img, img2)
+        x = jnp.concatenate(
+            [jnp.concatenate([im.astype(seg.dtype), seg], axis=-1)
+             for im in imgs], axis=0)
+        x = x.reshape((len(imgs) * B * T,) + x.shape[2:])
 
         results = []
         for i in range(self.num_D):
@@ -208,4 +219,8 @@ class MultiscaleActionDiscriminator(nn.Module):
             results.append(feats)
             if i + 1 < self.num_D:
                 x = avg_pool_3x3s2(x)
-        return results
+        if img2 is None:
+            return results
+        split = lambda f: (f[:B * T], f[B * T:])
+        return ([[split(f)[0] for f in feats] for feats in results],
+                [[split(f)[1] for f in feats] for feats in results])

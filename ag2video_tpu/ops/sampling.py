@@ -55,15 +55,20 @@ def grid_sample_2d(
 
     if padding_mode == "border":
         # Border padding == clamping the *continuous* coordinate (torch
-        # clip_coordinates): after the clamp every base index is interior,
-        # so the 2x2 neighborhood can be packed once (edge-padded
-        # bottom/right) and fetched with ONE gather of 4C-float granules.
-        # TPU gathers are descriptor-bound at small C — one gather with a
-        # 4C granule is ~4x cheaper than four C-granule gathers
-        # (measured 4.98 ms -> see RESULTS.md; the flow-warp hot path,
-        # reference models/utils.py:118-124).
+        # clip_coordinates); after the clamp every base index is interior.
         x = jnp.clip(x, 0.0, W - 1.0)
         y = jnp.clip(y, 0.0, H - 1.0)
+
+    if padding_mode == "border" and C <= 16:
+        # Packed fast path: the 2x2 neighborhood is packed once
+        # (edge-padded bottom/right) and fetched with ONE gather of
+        # 4C-float granules. TPU gathers are descriptor-bound at small C —
+        # one gather with a 4C granule is ~4x cheaper than four C-granule
+        # gathers (flow-warp hot path, C=3: 4.98 ms -> 1.52 ms at 256^2
+        # B=2, RESULTS.md; reference models/utils.py:118-124). Tradeoff:
+        # `packed` materializes a 4x copy of the source map, so the path is
+        # gated to small C; large-C callers take the four-gather path below
+        # (border semantics preserved by the coordinate clamp above).
         x0f = jnp.floor(x)
         y0f = jnp.floor(y)
         tx = (x - x0f)[..., None].astype(img.dtype)

@@ -77,10 +77,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _d_apply(self, d_params, d_state, train):
-        def apply(img, objs, boxes, actions_data):
+        def apply(img, objs, boxes, actions_data, img2=None):
             out = self.disc.apply(
                 {"params": d_params, **d_state}, img, objs, boxes,
-                actions_data, train=train,
+                actions_data, train=train, img2=img2,
                 mutable=["spectral"] if train else False)
             return out[0] if train else out
         return apply
@@ -131,11 +131,11 @@ class Trainer:
             def d_loss_fn(d_params, d_state):
                 got = {"out": None}
 
-                def d_apply(img, objs, boxes, actions_data):
+                def d_apply(img, objs, boxes, actions_data, img2=None):
                     feats, new_dstate = disc.apply(
                         {"params": d_params, **d_state},
                         img, objs, boxes, actions_data, train=True,
-                        mutable=["spectral"])
+                        img2=img2, mutable=["spectral"])
                     got["out"] = new_dstate
                     return feats
 
@@ -337,11 +337,30 @@ class Trainer:
         checkpoint_every: Optional[int] = None,
         metrics_writer=None,
         timing: bool = False,
+        inception_score=None,
     ):
-        """The reference main loop (train.py:398-513), host side."""
+        """The reference main loop (train.py:398-513), host side.
+
+        The use_gt=True validation pass scores *generated frames* with the
+        Inception Score, matching the reference's val loop
+        (scripts/train.py:175, 247); the use_gt=False pass measures layout
+        IoU. Pass `inception_score` to inject a scorer (tests); by default
+        one is built from `eval.inception` when cfg.val_inception is set.
+        """
         from ag2video_tpu.utils.profiling import StepTimer
 
         cfg = self.cfg
+        if (inception_score is None and val_loader is not None
+                and cfg.val_inception and not cfg.graph_only):
+            from ag2video_tpu.eval.inception import (
+                InceptionScore, load_inception_params)
+            params = load_inception_params()
+            inception_score = InceptionScore(params)
+            if inception_score.random_init:
+                log.warning(
+                    "no pretrained InceptionV3 asset; val Inception Score "
+                    "will be reported as inception_randomnet_* (see "
+                    "scripts/port_torch_weights.py)")
         num_iterations = num_iterations or cfg.num_iterations
         log_every = log_every or cfg.print_every
         checkpoint_every = checkpoint_every or cfg.checkpoint_every
@@ -352,12 +371,16 @@ class Trainer:
         t0 = time.time()
         last = {}
         t = int(self.state.step)
+        start_t = t
         while t < num_iterations:
             if checkpoint_every and t % checkpoint_every == 0 and cfg.output_dir:
                 self.save_checkpoint(cfg.output_dir, t, 0)
                 if val_loader is not None:
                     for use_gt in (True, False):
-                        m, samples = self.check_model(val_loader, use_gt)
+                        m, samples = self.check_model(
+                            val_loader, use_gt,
+                            inception_score=(inception_score if use_gt
+                                             else None))
                         tag = "use_gt" if use_gt else "no_use_gt"
                         log.info("val[%s] @%d: %s", tag, t, m)
                         if metrics_writer:
@@ -394,7 +417,9 @@ class Trainer:
                 self.state = self.state.replace(step=jnp.asarray(t, jnp.int32))
         # Final checkpoint: the in-loop cadence saves at iteration START, so
         # the state after the last iterations is never saved in-loop
-        # (reference saves 'latest' on exit, train.py:525-528).
-        if cfg.output_dir and checkpoint_every and t > 0:
+        # (reference saves 'latest' on exit, train.py:525-528). Skipped when
+        # no iteration ran (e.g. fit() re-entered after a completed resume) —
+        # itr_<t> already exists and needn't be rewritten.
+        if cfg.output_dir and checkpoint_every and t > start_t:
             self.save_checkpoint(cfg.output_dir, t, 0)
         return last

@@ -5,9 +5,10 @@ The reference's headline workload is CATER 256x256 generation
 (BASELINE.md). This benchmark runs the full inference pipeline — layout
 rollout (graph model) + autoregressive flow/SPADE frame generation — at
 CATER scale (256x256, semantic_nc=512, full-width generator) in bfloat16,
-and reports generated frames per second per chip.
+sweeps the generation batch size, and reports the chip's best generated
+frames per second (per-batch numbers go to stderr; VERDICT r2 item 2).
 
-Prints exactly one JSON line:
+Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
@@ -19,9 +20,11 @@ import time
 
 
 BASELINE_FPS = 24.0  # BASELINE.md: >24 generated frames/sec/chip
+BATCH_SIZES = (2, 8)  # B=2: the reference's cmdline batch; B=8: best B
+T = 8                 # 8-frame clips; 7 generated frames per sample
 
 
-def main():
+def measure(B: int) -> float:
     import jax
 
     from ag2video_tpu.config import Config
@@ -30,7 +33,6 @@ def main():
     from __graft_entry__ import _make_inputs
 
     vocab = get_vocab("cater")
-    B, T = 2, 8  # 8-frame clips; 7 generated frames each (B=4 OOMs a v5e)
     cfg = Config(
         dataset="cater", image_size=(256, 256), frames_per_action=T,
         batch_size=B, max_objects=11, max_triplets=11, max_actions=2,
@@ -72,12 +74,22 @@ def main():
 
     ncond = cfg.n_frames_G - 1
     frames = B * (T - ncond)
-    fps = frames / dt
+    return frames / dt
+
+
+def main():
+    best_b, best_fps = None, 0.0
+    for B in BATCH_SIZES:
+        fps = measure(B)
+        print(f"B={B}: {fps:.2f} frames/s/chip", file=sys.stderr)
+        if fps > best_fps:
+            best_b, best_fps = B, fps
+    print(f"best: B={best_b}", file=sys.stderr)
     print(json.dumps({
         "metric": "cater256_gen_frames_per_sec_per_chip",
-        "value": round(fps, 2),
+        "value": round(best_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(best_fps / BASELINE_FPS, 3),
     }))
 
 

@@ -20,12 +20,111 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 log = logging.getLogger("eval_iou")
 
 
+def composition_variants(batch, vocab):
+    """Zero-shot composition variants of a batch's action tensor
+    (VERDICT r2 item 5; reference timing-shift contract
+    scripts/test.py:249-275). Returns {name: (B, A, 7) actions}.
+
+    On the LINEAR synthetic dynamics the rule baseline is the analytic
+    oracle for ANY action tensor, so rule_based_boxes(variant) gives the
+    expected layout and IoU(model rollout, rule rollout) measures whether
+    the model executes the recomposed program."""
+    from ag2video_tpu.inference import actions as action_lib
+
+    pad_act = vocab["action_name_to_idx"]["__padding__"]
+    slide = vocab["action_name_to_idx"]["_slide"]
+    a0 = np.asarray(batch.actions, np.float32).copy()
+    real = a0[..., 1] != pad_act                       # (B, A)
+
+    out = {"original": a0}
+    b = a0.copy()                                      # test.py:249-251
+    b[..., 3] = np.where(real, 0.0, b[..., 3])
+    b[..., 4] = np.where(real, 3.0, b[..., 4])
+    out["timing_before"] = b
+    c = a0.copy()                                      # test.py:263-265
+    c[..., 3] = np.where(real, -2.0, c[..., 3])
+    c[..., 4] = np.where(real, 1.0, c[..., 4])
+    out["timing_after"] = c
+
+    # Composed multi-action graph: add a NEW _slide row (never seen with
+    # this sample) on an un-acted real object, into a padding slot.
+    d = a0.copy()
+    objs = np.asarray(batch.objs)
+    n_composed = 0
+    for i in range(d.shape[0]):
+        slots = np.where(~real[i])[0]
+        n_real_obj = int((objs[i, :, 0] != 0).sum())
+        acted = {int(s) for s in a0[i][real[i]][:, 0]}
+        free_objs = [o for o in range(n_real_obj) if o not in acted]
+        if len(slots) and free_objs:
+            d[i, slots[0]] = [free_objs[0], slide, free_objs[0],
+                              0.0, 1.0, 0.15, 0.15]
+            n_composed += 1
+    out["composed"] = d
+    return out, n_composed
+
+
+def run_composition_sweep(sess, loader, num_samples):
+    """Per variant: model rollout under the modified actions vs the
+    analytic (rule) expectation under the SAME actions."""
+    import jax.numpy as jnp
+
+    from ag2video_tpu.models.rule_baseline import rule_based_boxes
+    from ag2video_tpu.ops.metrics import iou_stats
+
+    totals = {}
+    n = 0
+    composed_n = 0
+    loaded = False
+    for batch in loader.epoch(0):
+        if not loaded:
+            sess.load(batch)
+            loaded = True
+        variants, nc = composition_variants(batch, sess.vocab)
+        composed_n += nc
+        mask = (batch.objs[..., 0] != 0)[:, None, :]
+        mask = np.broadcast_to(mask, batch.boxes[:, 1:].shape[:-1])
+        for name, acts in variants.items():
+            expected = np.asarray(rule_based_boxes(
+                jnp.asarray(batch.objs), jnp.asarray(batch.triplets),
+                jnp.asarray(acts), jnp.asarray(batch.boxes), sess.vocab))
+            _, pred = sess.generate(batch, actions=acts)
+            pred = np.clip(pred, 0.0, 1.0)
+            pairs = {"model_vs_expected": (pred, expected)}
+            if name == "original":
+                pairs["model_vs_gt"] = (pred, np.asarray(batch.boxes))
+                pairs["rule_vs_gt"] = (expected, np.asarray(batch.boxes))
+            for tag, (x, y) in pairs.items():
+                stats = iou_stats(jnp.asarray(x[:, 1:]),
+                                  jnp.asarray(y[:, 1:]), jnp.asarray(mask))
+                key = f"{name}/{tag}"
+                totals[key] = totals.get(key, np.zeros(4)) + np.array(
+                    [float(s) for s in stats])
+        n += batch.imgs.shape[0]
+        if n >= num_samples:
+            break
+
+    result = {}
+    for key, t in sorted(totals.items()):
+        d = max(t[3], 1.0)
+        result[key] = {"avg_iou": round(t[0] / d, 4),
+                       "iou@0.5": round(t[1] / d, 4),
+                       "iou@0.3": round(t[2] / d, 4)}
+    result["n_videos"] = n
+    result["n_composed"] = composed_n
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--partition", default="val", choices=["val", "test"])
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--sweep", default=None, choices=[None, "composition"],
+                   help="composition: score zero-shot composed/timing-"
+                        "shifted action graphs against the analytic "
+                        "expectation (linear synthetic only)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -45,6 +144,11 @@ def main(argv=None):
     ds = get_dataset(sess.cfg.dataset, args.partition, sess.cfg)
     loader = Loader(ds, sess.cfg, batch_size=args.batch_size, shuffle=False,
                     drop_last=False)
+
+    if args.sweep == "composition":
+        result = run_composition_sweep(sess, loader, args.num_samples)
+        print(json.dumps(result, indent=2))
+        return result
 
     totals = {"model": np.zeros(4), "rule": np.zeros(4)}
     n = 0

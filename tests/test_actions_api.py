@@ -71,3 +71,45 @@ def test_run_args_vocab_roundtrip(tmp_path):
     assert v2["pred_idx_to_name"][0] == "__in_image__"
     assert v2["reverse_attributes"]["shape"][1] == "cube"
     assert cfg2.semantic_nc == cfg.semantic_nc
+
+
+def test_composition_variants_builder():
+    """scripts.eval_iou composition sweep: timing shifts touch only real
+    action rows; the composed variant adds a _slide on an un-acted object
+    in a padding slot (VERDICT r2 item 5)."""
+    from collections import namedtuple
+
+    from ag2video_tpu.vocab import get_vocab
+    from scripts.eval_iou import composition_variants
+
+    v = get_vocab("synthetic")
+    pad = v["action_name_to_idx"]["__padding__"]
+    slide = v["action_name_to_idx"]["_slide"]
+    B, A, O = 2, 3, 5
+    actions = np.zeros((B, A, 7), np.float32)
+    actions[:, :, 1] = pad
+    actions[0, 0] = [1, slide, 1, 0.0, 1.0, 0.5, 0.5]   # one real action
+    actions[1, 0] = [0, slide, 0, -1.0, 1.0, 0.2, 0.2]
+    actions[1, 1] = [2, slide, 2, 0.0, 2.0, 0.7, 0.1]
+    objs = np.zeros((B, O, 3), np.int64)
+    objs[:, :4] = 1  # 4 real objects, last slot dummy/padding
+    boxes = np.zeros((B, 4, O, 4), np.float32)
+    Batch = namedtuple("B", ["actions", "objs", "boxes"])
+    batch = Batch(actions, objs, boxes)
+
+    out, n_composed = composition_variants(batch, v)
+    assert set(out) == {"original", "timing_before", "timing_after",
+                        "composed"}
+    np.testing.assert_array_equal(out["original"], actions)
+    tb = out["timing_before"]
+    assert tb[0, 0, 3] == 0.0 and tb[0, 0, 4] == 3.0
+    assert tb[0, 1, 1] == pad and tb[0, 1, 4] == actions[0, 1, 4]  # padding untouched
+    ta = out["timing_after"]
+    assert ta[1, 0, 3] == -2.0 and ta[1, 1, 4] == 1.0
+    comp = out["composed"]
+    assert n_composed == 2
+    # New rows sit in previously-padding slots, on un-acted real objects.
+    new0 = comp[0, 1]
+    assert new0[1] == slide and int(new0[0]) not in {1} and new0[0] < 4
+    new1 = comp[1, 2]
+    assert new1[1] == slide and int(new1[0]) not in {0, 2} and new1[0] < 4

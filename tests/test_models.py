@@ -157,6 +157,66 @@ def test_meta_model_end_to_end(rng):
     assert set(out2.keys()) == {"boxes_pred", "actions_data"}
 
 
+def test_spade_block_fused_conditioning(rng):
+    """fuse_conditioning=True (one merged seg->k*nhidden shared conv + one
+    merged gamma|beta conv per norm) is bit-equivalent to the per-norm
+    reference semantics, in train mode (mutable norm state included), for
+    both the learned-shortcut (fin != fout) and plain (fin == fout)
+    blocks. Param trees are identical."""
+    import jax
+
+    from ag2video_tpu.models.spade import SPADEResnetBlock
+
+    for fin, fout in ((16, 16), (16, 8)):
+        x = jnp.asarray(rng.randn(2, 8, 8, fin).astype(np.float32))
+        seg = jnp.asarray(rng.randn(2, 8, 8, 24).astype(np.float32))
+        ref = SPADEResnetBlock(fout, fuse_conditioning=False)
+        new = SPADEResnetBlock(fout, fuse_conditioning=True)
+        vs = ref.init(jax.random.PRNGKey(0), x, seg, train=True)
+        vs2 = new.init(jax.random.PRNGKey(0), x, seg, train=True)
+        assert jax.tree.structure(vs) == jax.tree.structure(vs2)
+        for a, b in zip(jax.tree.leaves(vs), jax.tree.leaves(vs2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        out_ref, st_ref = ref.apply(vs, x, seg, train=True,
+                                    mutable=["batch_stats", "spectral"])
+        out_new, st_new = new.apply(vs, x, seg, train=True,
+                                    mutable=["batch_stats", "spectral"])
+        np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
+        for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st_new)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_real_fake_d_pass(rng):
+    """D(img, ..., img2=real) — one batched PatchGAN forward with shared
+    graph conditioning — matches two separate D calls exactly (the
+    instance-norm D has no cross-batch coupling)."""
+    v = get_vocab("cater")
+    cfg = Config(image_size=(32, 32)).derive(v)
+    b = make_batch(rng)
+    m = Acts2LayoutModel(vocab=v)
+    mv = m.init(jax.random.PRNGKey(0), b["objs"], b["triplets"], b["actions"],
+                b["boxes"])
+    _, _, actions_data = m.apply(mv, b["objs"], b["triplets"], b["actions"],
+                                 b["boxes"])
+    acts = {k: v_[:, 1:] for k, v_ in actions_data.items()}
+    fake = b["imgs"][:, 1:]
+    real = jnp.flip(b["imgs"][:, 1:], axis=0)
+
+    d = MultiscaleActionDiscriminator(vocab=v, semantic_nc=cfg.semantic_nc)
+    dv = d.init(jax.random.PRNGKey(1), fake, b["objs"], b["boxes"][:, 1:],
+                acts, train=False)
+    f1 = d.apply(dv, fake, b["objs"], b["boxes"][:, 1:], acts, train=False)
+    f2 = d.apply(dv, real, b["objs"], b["boxes"][:, 1:], acts, train=False)
+    g1, g2 = d.apply(dv, fake, b["objs"], b["boxes"][:, 1:], acts,
+                     train=False, img2=real)
+    for sep, bat in ((f1, g1), (f2, g2)):
+        for feats_s, feats_b in zip(sep, bat):
+            for a, c in zip(feats_s, feats_b):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                           atol=1e-5, rtol=1e-5)
+
+
 def test_spade_pyramid_equivalence(rng):
     """share_pyramid=True (successive-halving conditioning pyramid) is
     bit-equivalent to the reference semantics (every norm resizes the

@@ -1,0 +1,142 @@
+"""End-to-end Something-Else smoke test: fabricated frames + boxes.pkl +
+labels CSV -> registry/from_config (SMTH_DATA_ROOT/SMTH_SPLITS_DIR) ->
+Loader -> train_step + graph_step -> checkpoint -> resume.
+
+Mirrors tests/test_cater_e2e.py for the real-video dataset family
+(reference data/smth.py:19-390 + data/dataset_params.py:117-150): the
+collate/registry/trainer join for the SmthElse path, end to end, without
+real Something-Something videos.
+"""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from ag2video_tpu.config import Config
+from ag2video_tpu.data.registry import Loader, get_dataset
+from ag2video_tpu.train.trainer import Trainer
+
+
+@pytest.fixture
+def smth_env(tmp_path, monkeypatch):
+    """Fabricated SmthElse root wired through the env-var launch contract."""
+    import pandas as pd
+    from PIL import Image
+
+    root = tmp_path / "smth"
+    (root / "offical_release_boxes" / "boxes_by_video_id").mkdir(parents=True)
+    (root / "frames").mkdir()
+    with open(root / "offical_release_boxes" / "objs_mapping.json", "w") as f:
+        json.dump({"pen": "object", "book": "object", "hand": "hand"}, f)
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for vid in (201, 202, 203, 204):
+        rows.append({
+            "id": vid, "label": "moving pen up",
+            "template": "Moving [something] up",
+            "placeholders": "['pen']", "nr_instances": 2, "err": None,
+        })
+        meta = []
+        for t in range(20):
+            name = f"{vid}/{t:04}.jpg"
+            frame_dir = root / "frames" / str(vid)
+            frame_dir.mkdir(exist_ok=True)
+            Image.fromarray(
+                rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+            ).save(root / "frames" / name)
+            meta.append({
+                "name": name,
+                "nr_instances": 2,
+                "labels": [
+                    {"standard_category": "object 0",
+                     "gt_annotation": "pen", "category": "pen",
+                     "box2d": {"x1": 2.0 + 0.5 * t, "x2": 10.0 + 0.5 * t,
+                               "y1": 14.0 - 0.5 * t, "y2": 22.0 - 0.5 * t}},
+                    {"standard_category": "hand", "gt_annotation": "hand",
+                     "category": "hand",
+                     "box2d": {"x1": 12.0, "x2": 20.0,
+                               "y1": 5.0, "y2": 15.0}},
+                ],
+            })
+        vdir = root / "offical_release_boxes" / "boxes_by_video_id" / str(vid)
+        vdir.mkdir()
+        with open(vdir / "boxes.pkl", "wb") as f:
+            pickle.dump(meta, f)
+
+    df = pd.DataFrame(rows)
+    df.to_csv(root / "train.csv", index=False)
+    df.head(1).to_csv(root / "val_split.csv", index=False)
+    monkeypatch.setenv("SMTH_DATA_ROOT", str(root))
+    monkeypatch.setenv("SMTH_SPLITS_DIR", str(root))
+    return root
+
+
+@pytest.mark.slow
+def test_smth_train_step_and_checkpoint(smth_env, tmp_path):
+    cfg = Config(
+        dataset="smth_else",
+        image_size=(32, 32),
+        batch_size=2,
+        frames_per_action=2,
+        frames_per_action_graph=1,
+        embedding_dim=8,
+        gconv_dim=8,
+        gconv_hidden_dim=16,
+        gconv_num_layers=2,
+        ngf=4,
+        nff=4,
+        n_blocks_F=1,
+        n_downsample_F=2,
+        num_D=1,
+        n_layers_D=2,
+        max_objects=4,
+        max_triplets=8,
+        max_actions=2,
+        compute_dtype="float32",
+        no_vgg_loss=True,
+        output_dir=str(tmp_path / "run"),
+    )
+
+    train_ds = get_dataset("smth_else", "train", cfg)
+    graph_ds = get_dataset("smth_else", "train_graph", cfg)
+    val_ds = get_dataset("smth_else", "val", cfg)
+    assert len(train_ds) == 4 and len(val_ds) == 1
+    vocab = train_ds.vocab
+    cfg = cfg.derive(vocab)
+
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+
+    trainer = Trainer(cfg, vocab)
+    b0 = next(train_loader.epoch(0))
+    assert b0.imgs.shape == (2, 2, 32, 32, 3)
+    # 2 real objects (pen + hand) + dummy fit the max_objects=4 cap.
+    assert b0.objs.shape == (2, 4, 1)
+    trainer.init(b0)
+
+    m = trainer.train_step(b0)
+    assert np.isfinite(float(m["G/total_loss"]))
+    assert np.isfinite(float(m["D/total_img_loss"]))
+    gb = next(graph_loader.epoch(0))
+    assert gb.imgs.shape[1] == 4  # 4x longer clips (dataset_params.py:142)
+    gm = trainer.graph_step(gb)
+    assert np.isfinite(float(gm["Graph/total_loss"]))
+    assert int(trainer.state.skipped_nan) == 0
+
+    # Checkpoint -> fresh trainer -> auto-resume restores the step counter.
+    from ag2video_tpu.train.checkpoint import latest_checkpoint
+
+    trainer.save_checkpoint(cfg.output_dir, 1, 0)
+    resumed = Trainer(cfg, vocab)
+    resumed.init(b0)
+    resumed.restore_checkpoint(latest_checkpoint(cfg.output_dir))
+    assert int(resumed.state.step) == int(trainer.state.step)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(trainer.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

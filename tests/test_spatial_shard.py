@@ -48,3 +48,45 @@ def test_spatial_vs_data_parallel_agree():
     a, b = results[(2, 1)], results[(2, 4)]
     for k in a:
         assert np.isclose(a[k], b[k], rtol=2e-3, atol=1e-4), (k, a[k], b[k])
+
+
+@pytest.mark.slow
+def test_512_spatially_sharded_generation():
+    """512^2 generator forward spatially sharded over the model axis
+    (VERDICT r2 item 8 / DESIGN.md §4's beyond-reference capability).
+
+    At the reference's full width a single chip cannot hold the 512^2
+    activations (the folded conditioning map alone is (B*T, 512, 512, 512)
+    bf16 ~ 3.8 GB per tensor at B=2, T=8; single-chip AOT peak analysis in
+    RESULTS.md) — the model axis shards every conv's spatial dim via GSPMD
+    halo exchange. Width is reduced here so the 8-device *virtual CPU*
+    mesh can run it; the sharding geometry (512^2, 2x4 mesh, halo pattern)
+    is the real thing, and the sharded result must match the unsharded
+    one."""
+    assert len(jax.devices()) >= 8
+
+    import jax.numpy as jnp
+
+    from ag2video_tpu.models.spade import SPADEGenerator
+    from ag2video_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gen = SPADEGenerator(ngf=2, norm_G="spectralspadesyncbatch3x3")
+    seg = jax.random.normal(jax.random.PRNGKey(0), (2, 512, 512, 8),
+                            jnp.float32)
+    variables = jax.jit(lambda k, s: gen.init(k, s, train=False))(
+        jax.random.PRNGKey(1), seg)
+
+    ref = jax.jit(lambda v, s: gen.apply(v, s, train=False))(variables, seg)
+
+    mesh = make_mesh(data=2, model=4)
+    s_seg = NamedSharding(mesh, P("data", MODEL_AXIS))  # H spatially sharded
+    seg_sharded = jax.device_put(seg, s_seg)
+    v_repl = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), variables)
+    out = jax.jit(lambda v, s: gen.apply(v, s, train=False))(
+        v_repl, seg_sharded)
+    # The output really is spatially partitioned, and matches.
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

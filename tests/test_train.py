@@ -134,6 +134,66 @@ def test_synthetic_dataset_structure():
     np.testing.assert_array_equal(vids, vids2)
 
 
+class _StubInception:
+    """InceptionScore-shaped recorder: asserts the fit() wiring without the
+    24M-param backbone."""
+
+    random_init = False
+
+    def __init__(self):
+        self.frames = 0
+        self.cleaned = 0
+
+    def clean(self):
+        self.cleaned += 1
+
+    def __call__(self, imgs):
+        assert imgs.ndim == 4 and imgs.shape[-1] == 3, imgs.shape
+        self.frames += int(imgs.shape[0])
+
+    def compute_score(self, splits=5):
+        return 7.5, 0.25
+
+
+def test_fit_wires_inception_into_use_gt_val(tmp_path):
+    """The use_gt=True val pass scores generated frames with the Inception
+    Score (reference scripts/train.py:175, 247): fit() must pass the scorer
+    to check_model and the inception_* keys must reach the metrics stream
+    (VERDICT r2 items 4/5)."""
+    cfg, vocab = tiny_config(output_dir=str(tmp_path / "run"),
+                             num_iterations=1, checkpoint_every=1,
+                             num_val_samples=2)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    val_ds = get_dataset("synthetic", "val", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    val_loader = Loader(val_ds, cfg, shuffle=False, drop_last=False)
+
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+
+    written = []
+
+    class Writer:
+        def write(self, t, vals):
+            written.append((t, dict(vals)))
+
+    stub = _StubInception()
+    trainer.fit(train_loader, graph_loader, val_loader,
+                metrics_writer=Writer(), inception_score=stub)
+
+    use_gt_rows = [v for _, v in written if "use_gt/inception_mean" in v]
+    assert use_gt_rows, [sorted(v) for _, v in written]
+    assert use_gt_rows[0]["use_gt/inception_mean"] == 7.5
+    assert use_gt_rows[0]["use_gt/inception_std"] == 0.25
+    # The scorer saw generated frames and was reset per pass; the
+    # use_gt=False pass (layout IoU) does NOT rescore.
+    assert stub.cleaned == 1 and stub.frames > 0
+    no_gt_rows = [v for _, v in written if "no_use_gt/avg_iou" in v]
+    assert no_gt_rows and "no_use_gt/inception_mean" not in no_gt_rows[0]
+
+
 def test_spectral_stats_telemetry(trained):
     """Per-layer spectral-sigma telemetry (DESIGN.md §9 drift monitor)."""
     _, trainer, _, _, _ = trained

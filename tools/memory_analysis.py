@@ -1,0 +1,79 @@
+"""AOT peak-memory analysis: single-chip generation at 256^2 vs 512^2.
+
+Compiles (never executes) the full AR generation program for the real TPU
+backend and prints XLA's memory analysis — the evidence that full-width
+512^2 exceeds one chip's 16 GB HBM and needs the spatial model axis
+(tests/test_spatial_shard.py::test_512_spatially_sharded_generation).
+
+    python tools/memory_analysis.py [--sizes 256,512] [--batch 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def analyze(size: int, B: int, T: int = 8):
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.models.meta import AG2VideoModel
+    from ag2video_tpu.vocab import get_vocab
+    from __graft_entry__ import _make_inputs
+
+    vocab = get_vocab("cater")
+    cfg = Config(
+        dataset="cater", image_size=(size, size), frames_per_action=T,
+        batch_size=B, max_objects=11, max_triplets=11, max_actions=2,
+        compute_dtype="bfloat16",
+    ).derive(vocab)
+    model = AG2VideoModel(config=cfg, vocab=vocab)
+    b = _make_inputs(cfg, vocab, B=B, T=T)
+    abstract = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                for k, v in b.items()}
+
+    var_shapes = jax.eval_shape(
+        lambda k: model.init({"params": k}, b["imgs"], b["objs"],
+                             b["triplets"], b["actions"], b["boxes"],
+                             use_gt=True, train=False),
+        jax.random.PRNGKey(0))
+
+    def generate(variables, imgs, objs, triplets, actions, boxes):
+        out = model.apply(variables, imgs, objs, triplets, actions, boxes,
+                          test_mode=True, use_gt=False, train=False)
+        return out["imgs_pred"]
+
+    lowered = jax.jit(generate).lower(
+        var_shapes, abstract["imgs"], abstract["objs"], abstract["triplets"],
+        abstract["actions"], abstract["boxes"])
+    compiled = lowered.compile()
+    m = compiled.memory_analysis()
+    gb = 1024 ** 3
+    print(f"{size}^2 B={B}: temp {m.temp_size_in_bytes / gb:.2f} GB, "
+          f"args {m.argument_size_in_bytes / gb:.2f} GB, "
+          f"output {m.output_size_in_bytes / gb:.2f} GB, "
+          f"peak(temp+args) "
+          f"{(m.temp_size_in_bytes + m.argument_size_in_bytes) / gb:.2f} GB")
+    return m
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", default="256,512")
+    p.add_argument("--batch", type=int, default=2)
+    args = p.parse_args()
+    for s in (int(x) for x in args.sizes.split(",")):
+        try:
+            analyze(s, args.batch)
+        except Exception as e:  # OOM during compile-time allocation etc.
+            print(f"{s}^2 B={args.batch}: compile failed: "
+                  f"{type(e).__name__}: {str(e)[:300]}")
+
+
+if __name__ == "__main__":
+    main()

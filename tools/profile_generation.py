@@ -1,0 +1,187 @@
+"""Per-component generation profile on the real chip (RESULTS.md data).
+
+Times the full AR generate step and each SPADE-stack component at bench
+shapes (256^2, bf16). Methodology per CLAUDE.md: scalar-fetch sync,
+>=20-iteration amortization.
+
+    python tools/profile_generation.py [--batch 2] [--full] [--blocks]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# NOTE: do NOT use PYTHONPATH for this — an env PYTHONPATH breaks the axon
+# TPU plugin registration in this environment; a sys.path insert does not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit_ingraph(apply_fn, variables, x, iters=10, reps=3):
+    """Device-true per-call time: run `iters` chained applications INSIDE
+    one jit (a fori_loop with a data dependency that defeats CSE), so the
+    ~2 ms per-dispatch tunnel latency amortizes away."""
+    import jax
+
+    @jax.jit
+    def run(v, x):
+        def body(i, acc):
+            # Perturb EVERY input leaf so no part of the computation is
+            # loop-invariant (XLA would hoist it out of the loop).
+            xin = jax.tree.map(
+                lambda a: a + (acc * 1e-30).astype(a.dtype), x)
+            out = apply_fn(v, xin)
+            leaf = jax.tree.leaves(out)[0]
+            return acc + jnp.mean(leaf[..., :1].astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    float(run(variables, x))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(variables, x))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3  # ms
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    # scalar fetch as the reliable sync over the tunnel
+    float(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jax.tree.leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--full", action="store_true", help="full generate")
+    p.add_argument("--blocks", action="store_true", help="per-block SPADE")
+    p.add_argument("--loop", action="store_true",
+                   help="in-graph loop timings (dispatch-free)")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.vocab import get_vocab
+
+    vocab = get_vocab("cater")
+    B, T = args.batch, 8
+    cfg = Config(
+        dataset="cater", image_size=(256, 256), frames_per_action=T,
+        batch_size=B, max_objects=11, max_triplets=11, max_actions=2,
+        compute_dtype="bfloat16",
+    ).derive(vocab)
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+
+    if args.full:
+        from ag2video_tpu.models.meta import AG2VideoModel
+        from __graft_entry__ import _make_inputs
+
+        model = AG2VideoModel(config=cfg, vocab=vocab)
+        b = _make_inputs(cfg, vocab, B=B, T=T)
+        variables = jax.jit(
+            lambda k: model.init(
+                {"params": k}, b["imgs"], b["objs"], b["triplets"],
+                b["actions"], b["boxes"], use_gt=True, train=False)
+        )(key)
+
+        @jax.jit
+        def generate(variables, imgs, objs, triplets, actions, boxes):
+            out = model.apply(variables, imgs, objs, triplets, actions,
+                              boxes, test_mode=True, use_gt=False,
+                              train=False)
+            return out["imgs_pred"]
+
+        ms = timeit(generate, variables, b["imgs"], b["objs"],
+                    b["triplets"], b["actions"], b["boxes"],
+                    iters=args.iters)
+        frames = B * (T - (cfg.n_frames_G - 1))
+        print(f"full generate B={B}: {ms:.2f} ms "
+              f"({frames / ms * 1e3:.1f} frames/s)")
+
+    # ---- SPADE generator standalone at (B, 256, 256, 512)
+    from ag2video_tpu.models.spade import SPADEGenerator, SPADEResnetBlock
+
+    gen = SPADEGenerator(ngf=cfg.ngf, norm_G=cfg.norm_G,
+                         num_upsampling_layers=cfg.num_upsampling_layers,
+                         aspect_ratio=cfg.aspect_ratio, dtype=dt)
+    seg = jax.random.normal(key, (B, 256, 256, cfg.semantic_nc), dt)
+    gv = jax.jit(lambda k, s: gen.init(k, s, train=False))(key, seg)
+    if args.loop:
+        apply = lambda v, s: gen.apply(v, s, train=False)
+        print(f"SPADEGenerator[ingraph] B={B}: "
+              f"{timeit_ingraph(apply, gv, seg):.2f} ms")
+    else:
+        f = jax.jit(lambda v, s: gen.apply(v, s, train=False))
+        print(f"SPADEGenerator B={B} 256^2: "
+              f"{timeit(f, gv, seg, iters=args.iters):.2f} ms")
+
+    # ---- flow net standalone (frame-step input width: the factorized
+    # frontend feeds nff-channel features, skip_first=True)
+    from ag2video_tpu.models.flow import FlowsGenerator
+
+    flow = FlowsGenerator(nff=cfg.nff, n_blocks_F=cfg.n_blocks_F,
+                          n_downsample_F=cfg.n_downsample_F,
+                          norm_F=cfg.norm_F,
+                          flow_multiplier=cfg.flow_multiplier,
+                          flow_deconv=cfg.flow_deconv, skip_first=True,
+                          dtype=dt)
+    finp = jax.random.normal(key, (B, 256, 256, cfg.nff), dt)
+    fv = jax.jit(lambda k, s: flow.init(k, s, train=False))(key, finp)
+    if args.loop:
+        applyf = lambda v, s: flow.apply(v, s, train=False)
+        print(f"FlowsGenerator[ingraph] B={B}: "
+              f"{timeit_ingraph(applyf, fv, finp):.2f} ms")
+    else:
+        ff = jax.jit(lambda v, s: flow.apply(v, s, train=False))
+        print(f"FlowsGenerator B={B}: "
+              f"{timeit(ff, fv, finp, iters=args.iters):.2f} ms")
+
+    if args.loop:
+        # Per-block in-graph timings at the hot resolutions.
+        for name, (h, fin, fout) in (("up_2", (128, 256, 128)),
+                                     ("up_3", (256, 128, 64))):
+            blk = SPADEResnetBlock(fout, cfg.norm_G, dtype=dt)
+            x = jax.random.normal(key, (B, h, h, fin), dt)
+            s = jax.random.normal(key, (B, h, h, cfg.semantic_nc), dt)
+            bv = jax.jit(lambda k, x, s: blk.init(k, x, s, train=False))(
+                key, x, s)
+            applyb = lambda v, xs, _b=blk: _b.apply(v, xs[0], xs[1],
+                                                    train=False)
+            print(f"  {name}[ingraph] {h}^2: "
+                  f"{timeit_ingraph(applyb, bv, (x, s)):.3f} ms")
+        return
+
+    if args.blocks:
+        # Per-resolution SPADEResnetBlock timings (normal plan, 256^2):
+        # (h, fin, fout)
+        plan = [(8, 1024, 1024), (16, 1024, 1024), (16, 1024, 1024),
+                (32, 1024, 512), (64, 512, 256), (128, 256, 128),
+                (256, 128, 64)]
+        names = ["head_0", "G_middle_0", "G_middle_1", "up_0", "up_1",
+                 "up_2", "up_3"]
+        for name, (h, fin, fout) in zip(names, plan):
+            blk = SPADEResnetBlock(fout, cfg.norm_G, dtype=dt)
+            x = jax.random.normal(key, (B, h, h, fin), dt)
+            s = jax.random.normal(key, (B, h, h, cfg.semantic_nc), dt)
+            bv = jax.jit(lambda k, x, s: blk.init(k, x, s, train=False))(
+                key, x, s)
+            bf = jax.jit(lambda v, x, s: blk.apply(v, x, s, train=False))
+            print(f"  {name:11s} {h:3d}^2 {fin:4d}->{fout:4d}: "
+                  f"{timeit(bf, bv, x, s, iters=args.iters):.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
