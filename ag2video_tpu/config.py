@@ -132,6 +132,15 @@ class Config:
     d_padding: str = "valid"
     d_activation: str = "leakyrelu-0.2"
 
+    # Donate the train-state buffers to the jitted train/graph steps
+    # (halves peak param+opt memory). Default on; --donate_step 0 is the
+    # verified workaround for a platform miscompile where the SAME step
+    # program returns NaN losses only when donated (observed at 64^2 B=8
+    # bf16 on the v5e axon runtime; 256^2 B=2 unaffected — RESULTS.md
+    # "Donation-triggered NaN"). fit() detects the symptom (every step
+    # NaN-skipped from step 1) and points at this flag.
+    donate_step: bool = True
+
     # Output / checkpointing (reference: data/args.py:85-96)
     timing: bool = False  # reference parses --timing and never reads it
     # Inception Score over generated frames during the use_gt=True val pass

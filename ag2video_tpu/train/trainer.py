@@ -227,8 +227,11 @@ class Trainer:
                 boxes_pred[:, 1:], batch["boxes"][:, 1:], mask)
             return out["imgs_pred"], boxes_pred, (s_iou, c05, c03, n)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._graph_step = jax.jit(graph_step, donate_argnums=(0,))
+        # cfg.donate_step=False is the workaround for the donation-triggered
+        # NaN miscompile (see Config.donate_step / RESULTS.md).
+        donate = (0,) if cfg.donate_step else ()
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._graph_step = jax.jit(graph_step, donate_argnums=donate)
         self._eval_forward = jax.jit(eval_forward, static_argnums=(2,))
 
     # ------------------------------------------------------------------
@@ -372,6 +375,8 @@ class Trainer:
         last = {}
         t = int(self.state.step)
         start_t = t
+        skipped0 = float(self.state.skipped_nan) if not cfg.graph_only else 0.0
+        warned_all_skipped = False
         while t < num_iterations:
             if checkpoint_every and t % checkpoint_every == 0 and cfg.output_dir:
                 self.save_checkpoint(cfg.output_dir, t, 0)
@@ -406,6 +411,18 @@ class Trainer:
                 if not cfg.graph_only:
                     vals.update(self.spectral_stats())
                     vals["skipped_nan"] = float(self.state.skipped_nan)
+                    # Every-step-skipped from the start is the signature of
+                    # the donation-triggered NaN miscompile, not a training
+                    # divergence (Config.donate_step, RESULTS.md).
+                    if (cfg.donate_step and not warned_all_skipped
+                            and t - start_t >= 20
+                            and vals["skipped_nan"] - skipped0
+                            >= (t - start_t)):
+                        log.error(
+                            "every train step since start was NaN-skipped; "
+                            "this matches the donation-triggered miscompile "
+                            "— restart with --donate_step 0 (RESULTS.md)")
+                        warned_all_skipped = True
                 if timer is not None:
                     vals.update(timer.stats())
                 rate = t / max(time.time() - t0, 1e-9)

@@ -202,3 +202,23 @@ def test_spectral_stats_telemetry(trained):
         assert stats[f"sigma/{tag}_max"] >= stats[f"sigma/{tag}_mean"] \
             >= stats[f"sigma/{tag}_min"] > 0.0
         assert np.isfinite(stats[f"sigma/{tag}_max"])
+
+
+def test_donate_step_off_runs_and_is_finite():
+    """--donate_step 0 is the documented workaround for the
+    donation-triggered NaN miscompile (Config.donate_step, RESULTS.md):
+    the non-donated step program must run and produce finite losses, and
+    the state must advance (donation is a memory optimization, not a
+    semantic one)."""
+    cfg, vocab = tiny_config(donate_step=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    loader = Loader(train_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    b0 = next(loader.epoch(0))
+    trainer.init(b0)
+    m = trainer.train_step(b0)
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    # Without donation the pre-step state buffers stay alive and readable.
+    assert int(trainer.state.step) == 1
+    m2 = trainer.train_step(b0)
+    assert all(np.isfinite(float(v)) for v in m2.values()), m2

@@ -1,0 +1,118 @@
+"""Halo-exchange cost of the spatial (model-axis) sharded generator.
+
+Single real chip means ICI time cannot be measured here; what CAN be
+extracted is the exact communication the compiled program performs.  This
+compiles (never executes) the full-width SPADE generator forward at 256^2,
+spatially sharded H-wise over the model axis of a virtual 2x4 mesh
+(tests/test_spatial_shard.py geometry), and parses the post-GSPMD
+optimized HLO for `collective-permute` instructions — the halo exchanges
+XLA inserts around every spatially-sharded conv.  Prints total halo bytes
+per forward and the predicted ICI time at v5e link speed, next to the
+program's HBM traffic for scale.
+
+    JAX_PLATFORMS=cpu python tools/halo_cost.py [--size 256] [--model 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+               "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
+
+# shape like "bf16[2,64,256,512]" possibly inside a tuple
+_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    total = 0
+    for dt, dims in _SHAPE.findall(shape_str):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--data", type=int, default=2)
+    p.add_argument("--model", type=int, default=4)
+    p.add_argument("--bt", type=int, default=2,
+                   help="folded batch*time of the conditioning map")
+    args = p.parse_args()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ag2video_tpu.models.spade import SPADEGenerator
+    from ag2video_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+    # Reference full width: ngf=64, semantic_nc=512 conditioning
+    # (reference models/spade_models/networks/generator.py:24-43).
+    gen = SPADEGenerator(ngf=64, norm_G="spectralspadesyncbatch3x3")
+    seg_shape = (args.bt, args.size, args.size, 512)
+    seg = jax.ShapeDtypeStruct(seg_shape, jnp.bfloat16)
+
+    var_shapes = jax.eval_shape(
+        lambda k: gen.init(k, jnp.zeros(seg_shape, jnp.bfloat16),
+                           train=False),
+        jax.random.PRNGKey(0))
+
+    mesh = make_mesh(data=args.data, model=args.model)
+    s_seg = NamedSharding(mesh, P("data", MODEL_AXIS))
+    s_repl = NamedSharding(mesh, P())
+    in_shardings = (jax.tree.map(lambda _: s_repl, var_shapes), s_seg)
+
+    fn = jax.jit(lambda v, s: gen.apply(v, s, train=False),
+                 in_shardings=in_shardings)
+    compiled = fn.lower(var_shapes, seg).compile()
+    hlo = compiled.as_text()
+
+    total_halo = 0
+    per_op = {}
+    for line in hlo.splitlines():
+        if "collective-permute" not in line or "=" not in line:
+            continue
+        lhs = line.split("=", 1)[0]
+        b = shape_bytes(lhs)
+        total_halo += b
+        per_op[lhs.strip().split(" ")[-1][:40]] = b
+    n_ops = len(per_op)
+
+    m = compiled.memory_analysis()
+    ca = compiled.cost_analysis()
+    hbm = (ca or {}).get("bytes accessed", float("nan"))
+
+    mb = 1024 ** 2
+    print(f"mesh data={args.data} x model={args.model}, seg {seg_shape} "
+          f"bf16, H sharded /{args.model}")
+    print(f"collective-permute ops: {n_ops}, "
+          f"total halo bytes/forward: {total_halo / mb:.2f} MiB")
+    print(f"program bytes accessed (HBM proxy): {hbm / mb:.1f} MiB; "
+          f"halo / HBM = {total_halo / hbm * 100 if hbm == hbm else 0:.2f}%")
+    # v5e ICI: ~45 GB/s one-way per link; halos ride neighbor links only.
+    ici = 45e9
+    print(f"predicted ICI time at 45 GB/s/link: "
+          f"{total_halo / ici * 1e6:.0f} us/forward")
+    print(f"temp memory per device: "
+          f"{m.temp_size_in_bytes / mb:.1f} MiB")
+
+
+if __name__ == "__main__":
+    main()
