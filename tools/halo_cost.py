@@ -85,15 +85,21 @@ def main():
     hlo = compiled.as_text()
 
     total_halo = 0
-    per_op = {}
+    n_ops = 0
+    shapes = {}
     for line in hlo.splitlines():
-        if "collective-permute" not in line or "=" not in line:
+        s = line.strip()
+        if "= " not in s or "collective-permute(" not in s:
             continue
-        lhs = line.split("=", 1)[0]
-        b = shape_bytes(lhs)
+        # '%cp.1 = bf16[2,1,256,128]{3,2,1,0} collective-permute(...)'
+        decl = s.split("= ", 1)[1].split(" collective-permute(", 1)[0]
+        b = shape_bytes(decl)
         total_halo += b
-        per_op[lhs.strip().split(" ")[-1][:40]] = b
-    n_ops = len(per_op)
+        n_ops += 1
+        shapes[decl] = shapes.get(decl, 0) + 1
+    for decl, cnt in sorted(shapes.items(),
+                            key=lambda kv: -shape_bytes(kv[0]))[:6]:
+        print(f"  {cnt}x {decl}")
 
     m = compiled.memory_analysis()
     ca = compiled.cost_analysis()
