@@ -52,7 +52,8 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
-def restore_checkpoint(path: str, target_state, for_inference: bool = False):
+def restore_checkpoint(path: str, target_state, for_inference: bool = False,
+                       to_device: bool = True):
     """Restore into the structure of `target_state` (must be pre-built with
     matching shapes, like the reference's load_state_dict contract).
 
@@ -60,6 +61,15 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False):
     model_state, d_params, d_state, vgg_params, counters), tolerating
     optimizer-state structure drift across framework versions — inference
     never needs optimizer states.
+
+    to_device=True (default) commits the restored tree to the default
+    device before returning. Orbax restores to HOST numpy arrays, and a
+    numpy leaf has no device identity — every jitted call taking the state
+    re-transfers it. On the tunneled-TPU platform that is ~40 s per call
+    for a full ~1.6 GB TrainState (~40 MB/s host->device), which turned
+    each post-resume 256^2 validation pass into ~an hour (32 eval_batch
+    calls) until the first train_step output replaced the state. Callers
+    that re-place the state themselves (e.g. mesh replication) pass False.
     """
     if os.path.isdir(path) and not re.match(r".*itr_\d+$", path):
         found = latest_checkpoint(path)
@@ -85,5 +95,7 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False):
     else:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, target)
+    if to_device:
+        restored = jax.device_put(restored)
     log.info("restored checkpoint %s", path)
     return restored

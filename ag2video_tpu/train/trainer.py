@@ -326,7 +326,16 @@ class Trainer:
                                  self.cfg, self.vocab)
 
     def restore_checkpoint(self, path: str):
-        self.state = ckpt_lib.restore_checkpoint(path, self.state)
+        # to_device / replicate: keep the restored state device-resident —
+        # a host-numpy state re-uploads ~1.6 GB through the tunnel on every
+        # jitted call (see ckpt_lib.restore_checkpoint docstring).
+        if self.mesh is not None:
+            from ag2video_tpu.parallel import replicate
+            restored = ckpt_lib.restore_checkpoint(path, self.state,
+                                                   to_device=False)
+            self.state = replicate(restored, self.mesh)
+        else:
+            self.state = ckpt_lib.restore_checkpoint(path, self.state)
         return self.state
 
     # ------------------------------------------------------------------
@@ -378,7 +387,13 @@ class Trainer:
         skipped0 = float(self.state.skipped_nan) if not cfg.graph_only else 0.0
         warned_all_skipped = False
         while t < num_iterations:
-            if checkpoint_every and t % checkpoint_every == 0 and cfg.output_dir:
+            # Save/validate on the cadence — but not at the resume point
+            # (t == start_t > 0): itr_<t> was just restored from disk, and
+            # re-writing + re-validating it costs minutes (256^2: ~6 min
+            # orbax save + a val pass) for information we already have.
+            # Fresh starts (t == 0) do save+validate as the baseline.
+            if (checkpoint_every and t % checkpoint_every == 0
+                    and cfg.output_dir and (t == 0 or t > start_t)):
                 self.save_checkpoint(cfg.output_dir, t, 0)
                 if val_loader is not None:
                     for use_gt in (True, False):

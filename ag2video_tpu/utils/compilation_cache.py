@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache.
+
+The reference has no analog (torch/cuDNN kernels are cached by the driver;
+`torch.backends.cudnn.benchmark` in reference train.py:24 is its whole
+story). Under XLA every process recompiles its jitted programs from
+scratch — on this platform the 256^2 train step costs ~29 min of compile
+per process (RESULTS.md), which a resume or a second CLI invocation pays
+again. JAX's persistent compilation cache keys compiled executables by
+(HLO, flags, platform) and reuses them across processes.
+
+Failure-soft: some backends reject the cache; callers always proceed
+without it.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "AG2VIDEO_COMPILATION_CACHE", "/tmp/ag2video_xla_cache")
+
+
+def enable_persistent_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> bool:
+    """Enable JAX's on-disk compilation cache. Returns True on success.
+
+    Must run before the first compilation to cover it. Entries are keyed
+    by HLO fingerprint, so code changes naturally miss (never stale-hit).
+    """
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that takes >=2s to compile; tiny programs are
+        # cheaper to recompile than to hash + deserialize.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        log.warning("persistent compilation cache unavailable: %s", e)
+        return False

@@ -126,6 +126,8 @@ def main(argv=None):
                         "shifted action graphs against the analytic "
                         "expectation (linear synthetic only)")
     args = p.parse_args(argv)
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -26,6 +26,8 @@ def main(argv=None):
                    help="save_test generates from GT boxes (reference "
                         "test.py --use_test default)")
     args = p.parse_args(argv)
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import os
 

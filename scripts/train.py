@@ -71,6 +71,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = Config.from_dict(vars(args))
 
+    # Before any compilation: a resume or second run reuses this process's
+    # compiled programs from disk (the 256^2 train step alone is ~29 min of
+    # compile on this platform, RESULTS.md).
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if getattr(args, "debug_nans", 0):
         jax.config.update("jax_debug_nans", True)
 

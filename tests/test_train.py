@@ -1,5 +1,7 @@
 """End-to-end training smoke tests on the synthetic dataset (tiny config)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -114,6 +116,13 @@ def test_checkpoint_roundtrip(trained, tmp_path_factory):
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
 
+    # The restored state must be DEVICE-committed jax.Arrays, not orbax's
+    # host numpy: a numpy state re-transfers the full ~1.6 GB tree on
+    # every jitted call (~40 s/call through the TPU tunnel), which made
+    # each post-resume 256^2 val pass take ~an hour before the fix.
+    for leaf in jax.tree.leaves(trainer.state):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
     # run_args.json contract: reload rebuilds the same config.
     cfg2, vocab2 = Config.load_run_args(out)
     assert cfg2.embedding_dim == cfg.embedding_dim
@@ -222,3 +231,69 @@ def test_donate_step_off_runs_and_is_finite():
     assert int(trainer.state.step) == 1
     m2 = trainer.train_step(b0)
     assert all(np.isfinite(float(v)) for v in m2.values()), m2
+
+
+def test_persistent_compilation_cache_writes_entries(tmp_path):
+    """enable_persistent_cache points JAX's on-disk executable cache at a
+    directory; a compile >= the time floor must leave an entry that a
+    second process (simulated: a fresh jit of the same HLO) can reuse.
+    No reference analog (torch caches kernels in the driver); this exists
+    because a 256^2 train-step compile costs ~29 min on the target
+    platform (RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    assert enable_persistent_cache(cache_dir)
+    # Floor to zero so even this tiny program is cached.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    try:
+        x = jnp.arange(512.0).reshape(8, 64)
+
+        @jax.jit
+        def f(a):
+            return (a @ a.T).sum()
+
+        assert float(f(x)) > 0
+        entries = list(os.listdir(cache_dir))
+        assert entries, "no cache entry written"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def test_resume_point_save_and_val_skipped(tmp_path):
+    """fit() entered at a restored step t (t %% checkpoint_every == 0) must
+    NOT re-save / re-validate itr_<t>: the checkpoint was just read from
+    disk, and re-writing it cost ~6 min of orbax save plus a full val pass
+    per resume at 256^2. Fresh starts still save+validate at t=0."""
+    import jax
+
+    cfg, vocab = tiny_config(output_dir=str(tmp_path), donate_step=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+    # Train 2 steps; in-loop save at t=0, final save at t=2.
+    trainer.fit(train_loader, graph_loader, num_iterations=2,
+                log_every=10, checkpoint_every=2)
+    ckpt2 = os.path.join(str(tmp_path), "itr_2")
+    assert os.path.isdir(ckpt2)
+    mtime_before = os.path.getmtime(ckpt2)
+
+    # Fresh trainer resumes at t=2 (2 %% 2 == 0) and trains one more step:
+    # itr_2 must NOT be rewritten; itr_3 is the final save.
+    resumed = Trainer(cfg, vocab)
+    resumed.init(next(train_loader.epoch(0)))
+    resumed.restore_checkpoint(ckpt2)
+    assert int(resumed.state.step) == 2
+    resumed.fit(train_loader, graph_loader, num_iterations=3,
+                log_every=10, checkpoint_every=2)
+    assert os.path.getmtime(ckpt2) == mtime_before, \
+        "resume-point checkpoint was rewritten"
+    assert os.path.isdir(os.path.join(str(tmp_path), "itr_3"))
+    assert int(resumed.state.step) == 3
