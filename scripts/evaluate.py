@@ -82,6 +82,8 @@ def main(argv=None):
     p.add_argument("--backbone", default="tsm", choices=["tsm", "resnext"])
     p.add_argument("--limit", type=int, default=None)
     args = p.parse_args(argv)
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     if args.mode == "image_fid":
         from ag2video_tpu.eval.fid import fid_from_features
