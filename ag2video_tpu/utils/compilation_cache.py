@@ -33,7 +33,16 @@ def enable_persistent_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> bool:
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        prev = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if prev is not None and prev != cache_dir:
+            # The cache object is created lazily at first use and then
+            # pinned; re-pointing the dir afterwards would silently keep
+            # writing to the old one. Drop the instance so the new dir
+            # takes effect (observed when one process drives two CLIs).
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc)
+            _cc.reset_cache()
         # Cache everything that takes >=2s to compile; tiny programs are
         # cheaper to recompile than to hash + deserialize.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

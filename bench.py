@@ -29,7 +29,9 @@ BATCH_SIZES = (2, 8)
 T = 8                 # 8-frame clips; 7 generated frames per sample
 
 
-def measure(B: int) -> float:
+def measure(B: int, size=(256, 256)) -> float:
+    """Generated frames/s at batch B; `size` exists so the timing loop is
+    drivable on small shapes off-chip (tests), default is the headline."""
     import jax
 
     from ag2video_tpu.config import Config
@@ -39,7 +41,7 @@ def measure(B: int) -> float:
 
     vocab = get_vocab("cater")
     cfg = Config(
-        dataset="cater", image_size=(256, 256), frames_per_action=T,
+        dataset="cater", image_size=size, frames_per_action=T,
         batch_size=B, max_objects=11, max_triplets=11, max_actions=2,
         compute_dtype="bfloat16",
     ).derive(vocab)
@@ -65,16 +67,23 @@ def measure(B: int) -> float:
 
     # Warmup/compile + output validation (guards against silent async
     # failures masquerading as instant results).
+    H, W = size
     out = jax.block_until_ready(generate(*args))
-    sample = float(out[0, -1, 128, 128, 0])
-    assert out.shape == (B, T, 256, 256, 3), out.shape
+    sample = float(out[0, -1, H // 2, W // 2, 0])
+    assert out.shape == (B, T, H, W, 3), out.shape
     assert abs(sample) < 1e6 and sample == sample, sample
 
-    n_iters = 10
+    # >=20 iterations between syncs, and sync by SCALAR FETCH, not
+    # block_until_ready: over the tunneled platform block_until_ready can
+    # return before work finishes (CLAUDE.md gotchas); the element fetch
+    # cannot. One ~45 ms fetch amortized over 20 iters biases <=2%.
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = generate(*args)
     jax.block_until_ready(out)
+    sync = float(out[0, -1, H // 2, W // 2, 0])  # the fetch IS the true sync
+    assert sync == sync and abs(sync) < 1e6, sync
     dt = (time.perf_counter() - t0) / n_iters
 
     ncond = cfg.n_frames_G - 1

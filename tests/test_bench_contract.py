@@ -1,0 +1,63 @@
+"""The driver contract for bench.py: exactly ONE JSON line on stdout with
+the metric/value/unit/vs_baseline keys, per-batch chatter on stderr, and a
+failing batch size skipped rather than fatal (bench.py main()).
+
+These tests stub `measure` — the real timing loop is driven on-chip (and
+off-chip via `measure(B, size=...)`, which test_bench_measure_small below
+exercises under the slow marker).
+"""
+
+import json
+import io
+import sys
+from contextlib import redirect_stderr, redirect_stdout
+
+import pytest
+
+import bench
+
+
+def _run_main(monkeypatch, fake_measure):
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    # The persistent cache hook needs no device; keep it from writing /tmp
+    # state in tests.
+    monkeypatch.setattr(
+        "ag2video_tpu.utils.compilation_cache.enable_persistent_cache",
+        lambda *a, **k: None)
+    out, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(out), redirect_stderr(err):
+        bench.main()
+    return out.getvalue(), err.getvalue()
+
+
+def test_single_json_line_best_batch(monkeypatch):
+    fps = {2: 100.0, 8: 150.0}
+    stdout, stderr = _run_main(monkeypatch, lambda B, size=(256, 256): fps[B])
+    lines = [l for l in stdout.strip().splitlines() if l]
+    assert len(lines) == 1, stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "cater256_gen_frames_per_sec_per_chip"
+    assert rec["value"] == 150.0          # best across the sweep
+    assert rec["unit"] == "frames/s"
+    assert rec["vs_baseline"] == pytest.approx(150.0 / bench.BASELINE_FPS,
+                                               abs=1e-3)
+    assert "B=2" in stderr and "B=8" in stderr
+
+
+def test_failing_batch_is_skipped_not_fatal(monkeypatch):
+    def fake(B, size=(256, 256)):
+        if B != 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return 42.0
+
+    stdout, stderr = _run_main(monkeypatch, fake)
+    rec = json.loads(stdout.strip())
+    assert rec["value"] == 42.0
+    assert "skipped" in stderr
+
+
+@pytest.mark.slow
+def test_bench_measure_small():
+    """Drive the real timing loop off-chip at a tiny size: finite fps."""
+    fps = bench.measure(2, size=(64, 64))
+    assert fps > 0 and fps == fps
