@@ -55,6 +55,54 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def spatial_min_heights(cfg) -> dict:
+    """Smallest frame-height each network's conv stack reaches.
+
+    Spatial (model-axis) sharding partitions every internal activation's H;
+    the contract below requires the model-axis size to DIVIDE each of these
+    minima so no conv ever runs on partial shards (fewer rows than
+    devices). XLA's SPMD partitioner miscompiles that degenerate layout in
+    large programs: the conv's output comes back scaled by exactly the
+    model-axis size (a sum over replicas) — measured on the 32^2 /
+    model=4 geometry where the SPADE latent is 1x1 (RESULTS.md "GSPMD
+    partial-shard conv miscompile"). The following BN masks the scale
+    (normalization is scale-invariant), which makes the corruption silent
+    in train mode while poisoning the running statistics.
+    """
+    H = cfg.image_size[0]
+    n_up = {"normal": 5, "more": 6, "most": 7}[cfg.num_upsampling_layers]
+    return {
+        "generator_latent": max(cfg.image_size[1] // (2 ** n_up), 1),
+        "discriminator": max(H // (2 ** (cfg.num_D - 1 + cfg.n_layers_D)), 1),
+        "flow_net": max(H // (2 ** cfg.n_downsample_F), 1),
+    }
+
+
+def validate_spatial_mesh(cfg, mesh: Mesh) -> None:
+    """Raise unless every internal conv resolution keeps >=2 rows per
+    device on the model axis (see spatial_min_heights).
+
+    Measured miscompile boundary (RESULTS.md): global H=2 sharded over 2
+    or 4 devices scales the conv output by the axis size; H>=4 with >=2
+    rows per shard is exact. >=2 rows/shard everywhere is the conservative
+    contract (it also excludes the exact-but-pointless 1-row-shard
+    layouts, where the k=3 halo is the entire neighbor shard)."""
+    model = mesh.shape[MODEL_AXIS]
+    if model <= 1:
+        return
+    bad = {k: h for k, h in spatial_min_heights(cfg).items()
+           if h % model or h // model < 2}
+    if bad:
+        raise ValueError(
+            f"mesh model axis {model} would leave <2 rows per device at "
+            f"the minimum internal conv height of: {bad} "
+            f"(image_size={cfg.image_size}). Spatially-sharded convs on "
+            "such degenerate layouts are miscompiled by the SPMD "
+            "partitioner (output scaled by the axis size; RESULTS.md "
+            "'GSPMD partial-shard conv miscompile'). Use a larger image, "
+            "a smaller model axis, or mesh_model=1.")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

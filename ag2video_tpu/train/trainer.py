@@ -47,6 +47,9 @@ class Trainer:
         self.cfg = cfg
         self.vocab = vocab
         self.mesh = mesh
+        if mesh is not None and cfg.mesh_model > 1:
+            from ag2video_tpu.parallel.mesh import validate_spatial_mesh
+            validate_spatial_mesh(cfg, mesh)
         self.state: Optional[TrainState] = None
         self.model = None
         self.disc = None

@@ -13,10 +13,17 @@ from ag2video_tpu.train.trainer import Trainer
 from ag2video_tpu.vocab import get_vocab
 
 
-def tiny_cfg(mesh_model):
+def tiny_cfg(mesh_model, size=128):
+    """128^2 keeps >=2 rows per device at every internal conv height on a
+    2-way model axis (SPADE latent 128/2^5 = 4 rows) — the validated
+    spatial-sharding contract (parallel.mesh.validate_spatial_mesh).
+    Smaller geometries (32^2/model=4: latent 1x1; 64^2/model=2: latent
+    2x2) hit an SPMD-partitioner miscompile where the conv output comes
+    back scaled by exactly the axis size (RESULTS.md "GSPMD partial-shard
+    conv miscompile")."""
     vocab = get_vocab("synthetic")
     cfg = Config(
-        dataset="synthetic", image_size=(32, 32), batch_size=2,
+        dataset="synthetic", image_size=(size, size), batch_size=2,
         frames_per_action=2, frames_per_action_graph=1,
         embedding_dim=16, gconv_dim=16, gconv_hidden_dim=32,
         gconv_num_layers=2, ngf=4, nff=4, n_blocks_F=1, n_downsample_F=2,
@@ -33,7 +40,7 @@ def test_spatial_vs_data_parallel_agree():
     assert len(jax.devices()) >= 8
 
     results = {}
-    for data, model in ((2, 1), (2, 4)):
+    for data, model in ((2, 1), (2, 2)):
         cfg, vocab = tiny_cfg(model)
         mesh = make_mesh(data=data, model=model,
                          devices=jax.devices()[:data * model])
@@ -45,9 +52,24 @@ def test_spatial_vs_data_parallel_agree():
         m = tr.train_step(b0)
         results[(data, model)] = {k: float(v) for k, v in m.items()}
 
-    a, b = results[(2, 1)], results[(2, 4)]
+    a, b = results[(2, 1)], results[(2, 2)]
     for k in a:
         assert np.isclose(a[k], b[k], rtol=2e-3, atol=1e-4), (k, a[k], b[k])
+
+
+def test_degenerate_spatial_mesh_rejected():
+    """Geometries that leave <2 rows per device at any internal conv
+    height hit the partitioner's partial-shard conv miscompile — the
+    trainer must refuse them up front rather than train on silently
+    axis-size-scaled activations with poisoned BN statistics. Both
+    measured-bad geometries (32^2/model=4 latent 1x1, 64^2/model=2 latent
+    2x2) must be rejected."""
+    for size, model in ((32, 4), (64, 2)):
+        cfg, vocab = tiny_cfg(model, size=size)
+        mesh = make_mesh(data=8 // model, model=model,
+                         devices=jax.devices()[:8])
+        with pytest.raises(ValueError, match="model axis"):
+            Trainer(cfg, vocab, mesh=mesh)
 
 
 @pytest.mark.slow
