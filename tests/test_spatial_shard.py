@@ -1,5 +1,6 @@
-"""Spatial (model-axis) sharding: a 2x4 mesh train step must agree with
-the 8x1 pure-data-parallel step — GSPMD handles the conv halos."""
+"""Spatial (model-axis) sharding: a dp x sp mesh train step must agree
+with the pure-data-parallel step (GSPMD handles the conv halos) — on
+contract-valid geometries only (parallel.mesh.validate_spatial_mesh)."""
 
 import numpy as np
 import pytest
@@ -112,3 +113,26 @@ def test_512_spatially_sharded_generation():
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_spatial_min_heights_production_geometries():
+    """The contract must admit the geometries spatial sharding exists for
+    (512^2: model axis up to 8; 256^2: up to 4) and reject beyond."""
+    from ag2video_tpu.parallel.mesh import (spatial_min_heights,
+                                            validate_spatial_mesh)
+
+    vocab = get_vocab("synthetic")
+    for size, ok_models, bad_model in ((512, (2, 4, 8), 16),
+                                       (256, (2, 4), 8)):
+        cfg = Config(dataset="synthetic", image_size=(size, size),
+                     num_D=2, n_layers_D=4, n_downsample_F=3).derive(vocab)
+        mins = spatial_min_heights(cfg)
+        assert mins["generator_latent"] == size // 32, mins
+        for model in ok_models:
+            mesh = make_mesh(data=8 // min(model, 8), model=model,
+                             devices=np.resize(jax.devices(), 8 // min(model, 8) * model))
+            validate_spatial_mesh(cfg, mesh)  # must not raise
+        mesh = make_mesh(data=1, model=bad_model,
+                         devices=np.resize(jax.devices(), bad_model))
+        with pytest.raises(ValueError, match="model axis"):
+            validate_spatial_mesh(cfg, mesh)
