@@ -72,6 +72,25 @@ def test_loader_survives_worker_exception():
         assert b.imgs.shape[0] == cfg.batch_size
 
 
+def test_short_tail_batch_not_padded_with_duplicates():
+    """drop_last=False with a dataset size not divisible by batch_size:
+    the final short batch must be yielded short (or dropped), never padded
+    with wrap-around duplicates that double-count samples in val/test
+    metrics (advisor r2 finding on the refill loop)."""
+    vocab = get_vocab("synthetic")
+    cfg = Config(dataset="synthetic", image_size=(16, 16), batch_size=4,
+                 frames_per_action=2, dataset_size=7, number_of_objects=3,
+                 max_objects=5, max_triplets=6, max_actions=2).derive(vocab)
+    ds = SyntheticDataset(partition="train", image_size=(16, 16),
+                          frames_per_action=2, dataset_size=7,
+                          number_of_objects=3)
+    loader = Loader(ds, cfg, shuffle=False, drop_last=False, num_threads=1)
+    batches = list(loader.epoch(0))
+    total = sum(b.imgs.shape[0] for b in batches)
+    assert total == 7, [b.imgs.shape[0] for b in batches]
+    assert batches[-1].imgs.shape[0] == 3
+
+
 def test_masked_optimizer_zeroes_excluded_params():
     """optax.masked passes raw grads through for excluded leaves; the
     chained set_to_zero must make their update exactly zero (previously:
