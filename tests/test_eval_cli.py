@@ -91,3 +91,27 @@ def test_inception_score_mode(image_dirs):
     r = main(["is", image_dirs["a"]])
     assert r["inception_mean"] >= 1.0 - 1e-5
     assert np.isfinite(r["inception_std"])
+
+
+def test_summarize_metrics_cli(tmp_path, capsys):
+    """scripts.summarize_metrics over a fabricated metrics stream: picks
+    first/quartiles/last per key, ignores rows missing a key."""
+    import json as _json
+
+    from scripts.summarize_metrics import main as summarize
+
+    rows = [{"t": t, "G/total_loss": 5.0 - t * 0.01,
+             **({"sigma/G_max": 1.0 + t * 0.001} if t % 2 == 0 else {})}
+            for t in range(0, 100, 5)]
+    with open(tmp_path / "metrics.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    out = summarize([str(tmp_path), "--keys", "G/total_loss",
+                     "sigma/G_max", "absent/key"])
+    assert set(out) == {"G/total_loss", "sigma/G_max"}
+    g = out["G/total_loss"]
+    assert g["@0"] == 5.0 and g["@95"] == 4.05
+    assert len(g) == 5
+    printed = capsys.readouterr().out
+    assert _json.loads(printed)["G/total_loss"]["@0"] == 5.0
