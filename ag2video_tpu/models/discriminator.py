@@ -44,19 +44,24 @@ class NLayerActionDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> List[jnp.ndarray]:
+        # Spatial (model-axis) sharding: pin every resolution level — tiny
+        # levels run replicated (parallel.mesh.constrain_rows; no-op
+        # off-mesh).
+        from ag2video_tpu.parallel.mesh import constrain_rows
+
         pad = ((2, 2), (2, 2))  # padw = ceil((4-1)/2) = 2 (reference :364)
         feats = []
         nf = self.ndf
         x = nn.Conv(nf, (4, 4), strides=(2, 2), padding=pad,
-                    dtype=self.dtype, name="model0")(x)
-        x = nn.leaky_relu(x, 0.2)
+                    dtype=self.dtype, name="model0")(constrain_rows(x))
+        x = constrain_rows(nn.leaky_relu(x, 0.2))
         feats.append(x)
         for n in range(1, self.n_layers_D):
             nf = min(nf * 2, 512)
             stride = 1 if n == self.n_layers_D - 1 else 2
             x = NormConv(nf, self.norm_D, 4, strides=stride, padding=pad,
                          dtype=self.dtype, name=f"model{n}")(x, train)
-            x = nn.leaky_relu(x, 0.2)
+            x = constrain_rows(nn.leaky_relu(x, 0.2))
             feats.append(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad,
                     dtype=self.dtype, name=f"model{self.n_layers_D}")(x)
@@ -218,7 +223,8 @@ class MultiscaleActionDiscriminator(nn.Module):
             )(x, train)
             results.append(feats)
             if i + 1 < self.num_D:
-                x = avg_pool_3x3s2(x)
+                from ag2video_tpu.parallel.mesh import constrain_rows
+                x = constrain_rows(avg_pool_3x3s2(x))
         if img2 is None:
             return results
         split = lambda f: (f[:B * T], f[B * T:])

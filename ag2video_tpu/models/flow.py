@@ -74,10 +74,16 @@ class FlowsGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # Spatial (model-axis) sharding: pin every resolution level — tiny
+        # levels run replicated (parallel.mesh.constrain_rows; no-op
+        # off-mesh).
+        from ag2video_tpu.parallel.mesh import constrain_rows
+
         nf = self.nff
         nd = self.n_downsample_F
         ch = [min(self.nf_max, nf * (2 ** i)) for i in range(nd + 1)]
 
+        x = constrain_rows(x)
         if not self.skip_first:
             x = NormConv(nf, self.norm_F, 3, dtype=self.dtype,
                          name="down_0")(x, train)
@@ -85,7 +91,7 @@ class FlowsGenerator(nn.Module):
         for i in range(nd):
             x = NormConv(ch[i + 1], self.norm_F, 3, strides=2,
                          dtype=self.dtype, name=f"down_{i + 1}")(x, train)
-            x = leaky_relu_02(x)
+            x = constrain_rows(leaky_relu_02(x))
 
         for i in range(self.n_blocks_F):
             x = FlowResBlock(ch[nd], self.norm_F, dtype=self.dtype,
@@ -96,10 +102,10 @@ class FlowsGenerator(nn.Module):
                 x = NormConv(ch[i], self.norm_F, 3, strides=2, transpose=True,
                              dtype=self.dtype, name=f"up_{j}")(x, train)
             else:
-                x = upsample_nearest(x)
+                x = constrain_rows(upsample_nearest(x))
                 x = NormConv(ch[i], self.norm_F, 3, dtype=self.dtype,
                              name=f"up_{j}")(x, train)
-            x = leaky_relu_02(x)
+            x = constrain_rows(leaky_relu_02(x))
 
         flow = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype,
                        name="conv_flow")(x) * self.flow_multiplier

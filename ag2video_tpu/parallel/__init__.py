@@ -14,4 +14,6 @@ from ag2video_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     batch_sharding,
+    constrain_rows,
+    ambient_spatial_axis,
 )

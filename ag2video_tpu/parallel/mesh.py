@@ -79,28 +79,66 @@ def spatial_min_heights(cfg) -> dict:
 
 
 def validate_spatial_mesh(cfg, mesh: Mesh) -> None:
-    """Raise unless every internal conv resolution keeps >=2 rows per
-    device on the model axis (see spatial_min_heights).
+    """Raise unless the *image-level* geometry can be spatially sharded:
+    the frame height must divide over the model axis with >=2 rows per
+    device.
 
-    Measured miscompile boundary (RESULTS.md): global H=2 sharded over 2
-    or 4 devices scales the conv output by the axis size; H>=4 with >=2
-    rows per shard is exact. >=2 rows/shard everywhere is the conservative
-    contract (it also excludes the exact-but-pointless 1-row-shard
-    layouts, where the k=3 halo is the entire neighbor shard)."""
+    Internal conv heights are NOT constrained anymore: every conv stack
+    pins its activations with `constrain_rows`, which replicates any level
+    too small to shard cleanly over the model axis — so the SPMD
+    partitioner never sees the degenerate partial-shard conv layout it
+    miscompiles (output scaled by exactly the axis size; RESULTS.md
+    "GSPMD partial-shard conv miscompile"; measured boundary: global H=2
+    sharded over 2 or 4 devices is wrong, >=2 rows/shard is exact). The
+    constraints only fire under an ambient mesh
+    (`jax.sharding.set_mesh`) — the Trainer scopes one around every jitted
+    step when cfg.mesh_model > 1."""
     model = mesh.shape[MODEL_AXIS]
     if model <= 1:
         return
-    bad = {k: h for k, h in spatial_min_heights(cfg).items()
-           if h % model or h // model < 2}
-    if bad:
+    H = cfg.image_size[0]
+    if H % model or H // model < 2:
         raise ValueError(
-            f"mesh model axis {model} would leave <2 rows per device at "
-            f"the minimum internal conv height of: {bad} "
-            f"(image_size={cfg.image_size}). Spatially-sharded convs on "
-            "such degenerate layouts are miscompiled by the SPMD "
-            "partitioner (output scaled by the axis size; RESULTS.md "
-            "'GSPMD partial-shard conv miscompile'). Use a larger image, "
-            "a smaller model axis, or mesh_model=1.")
+            f"mesh model axis {model} cannot spatially shard frame height "
+            f"{H} (image_size={cfg.image_size}): it must divide H with "
+            ">=2 rows per device. Use a larger image, a smaller model "
+            "axis, or mesh_model=1.")
+
+
+def ambient_spatial_axis() -> int:
+    """Model-axis size of the ambient mesh (`jax.sharding.set_mesh`), or 1.
+
+    Readable during tracing (the abstract mesh), so sharding constraints
+    gated on it vanish from every non-spatially-sharded program."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:  # pre-0.9 jax or no mesh machinery
+        return 1
+    if am is None or not am.shape:
+        return 1
+    return dict(am.shape).get(MODEL_AXIS, 1)
+
+
+def constrain_rows(x, min_rows: int = 2):
+    """Pin an NHWC (or (B, T, H, W, C)) activation's row axis: sharded over
+    the model axis when every device keeps >= min_rows rows, replicated
+    otherwise.
+
+    This lifts the spatial-sharding geometry contract *by construction*:
+    conv stacks call this at every resolution boundary, so levels too
+    small to shard run replicated (the partitioner never sees the
+    partial-shard conv layout it miscompiles — see validate_spatial_mesh)
+    while every large level still shards. Replicating a tiny level is
+    cheap by definition (the tensors are tiny) and removes its halo
+    exchanges. No-op without an ambient mesh or with model axis 1, so
+    single-chip and pure-data-parallel programs are untouched."""
+    model = ambient_spatial_axis()
+    if model <= 1 or getattr(x, "ndim", 0) < 4:
+        return x
+    H = x.shape[-3]
+    rows = MODEL_AXIS if (H % model == 0 and H // model >= min_rows) else None
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 4)), rows, None, None)
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

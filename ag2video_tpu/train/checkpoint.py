@@ -29,16 +29,57 @@ def checkpoint_path(output_dir: str, t: int) -> str:
     return os.path.join(os.path.abspath(output_dir), f"itr_{t}")
 
 
+# One process-wide async checkpointer: in-loop saves schedule the
+# serialization/write in the background and return after the (mandatory)
+# device->host fetch, overlapping the write with training — at 256^2 the
+# blocking save costs minutes per checkpoint (ROADMAP "orbax save
+# breakdown"). Orbax itself serializes back-to-back saves; restore and
+# process exit must call wait_for_saves() first.
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every scheduled async save has committed to disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(output_dir: str, t: int, epoch: int, state,
-                    cfg: Config, vocab: Dict[str, Any]) -> str:
+                    cfg: Config, vocab: Dict[str, Any],
+                    block: bool = True) -> str:
+    """Save the TrainState at itr_<t>. block=False returns once the
+    device->host fetch is done and the write is scheduled (the host copy is
+    immutable, so training can continue immediately); the breakdown of the
+    two phases is logged for the save-cost diagnosis."""
+    import time
+
     os.makedirs(output_dir, exist_ok=True)
     cfg.save_run_args(output_dir, vocab)
     path = checkpoint_path(output_dir, t)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+    t0 = time.time()
+    host_state = jax.device_get(state)
+    t_fetch = time.time() - t0
+    t0 = time.time()
+    if block:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, host_state, force=True)
+        verb = "saved"
+    else:
+        ckptr = _get_async_ckptr()
+        ckptr.wait_until_finished()  # orbax allows one in flight
+        ckptr.save(path, args=ocp.args.StandardSave(host_state), force=True)
+        verb = "scheduled async save of"
     with open(os.path.join(output_dir, "counters.json"), "w") as f:
         json.dump({"t": t, "epoch": epoch}, f)
-    log.info("saved checkpoint %s", path)
+    log.info("%s checkpoint %s (D2H fetch %.1fs, write phase %.1fs)",
+             verb, path, t_fetch, time.time() - t0)
     return path
 
 
@@ -71,6 +112,7 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False,
     calls) until the first train_step output replaced the state. Callers
     that re-place the state themselves (e.g. mesh replication) pass False.
     """
+    wait_for_saves()  # an async save of this very path may be in flight
     if os.path.isdir(path) and not re.match(r".*itr_\d+$", path):
         found = latest_checkpoint(path)
         if found is None:

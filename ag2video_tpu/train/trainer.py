@@ -78,6 +78,19 @@ class Trainer:
             return shard_batch(b, self.mesh, spatial=spatial)
         return b
 
+    def _mesh_ctx(self):
+        """Ambient-mesh scope for jitted-step calls. With a model axis the
+        conv stacks pin each resolution level via
+        `parallel.mesh.constrain_rows` (tiny levels replicate instead of
+        hitting the partitioner's partial-shard miscompile) — those
+        PartitionSpec constraints resolve against the mesh set here.
+        Scoped (not global) so multiple Trainers with different meshes can
+        coexist in one process (tests)."""
+        import contextlib
+        if self.mesh is not None and self.cfg.mesh_model > 1:
+            return jax.sharding.set_mesh(self.mesh)
+        return contextlib.nullcontext()
+
     # ------------------------------------------------------------------
     def _d_apply(self, d_params, d_state, train):
         def apply(img, objs, boxes, actions_data, img2=None):
@@ -240,7 +253,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_step(self, batch: Batch) -> Dict[str, float]:
         b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
-        self.state, metrics = self._train_step(self.state, b)
+        with self._mesh_ctx():
+            self.state, metrics = self._train_step(self.state, b)
         return metrics
 
     def graph_step(self, batch: Batch) -> Dict[str, float]:
@@ -251,12 +265,14 @@ class Trainer:
         # rank-preserving 1x1 stub keeps the jit signature stable.
         d["imgs"] = np.zeros(d["imgs"].shape[:2] + (1, 1, 3), np.float32)
         b = self._place({k: jnp.asarray(v) for k, v in d.items()})
-        self.state, metrics = self._graph_step(self.state, b)
+        with self._mesh_ctx():
+            self.state, metrics = self._graph_step(self.state, b)
         return metrics
 
     def eval_batch(self, batch: Batch, use_gt: bool):
         b = self._place({k: jnp.asarray(v) for k, v in batch.as_dict().items()})
-        return self._eval_forward(self.state, b, use_gt)
+        with self._mesh_ctx():
+            return self._eval_forward(self.state, b, use_gt)
 
     # ------------------------------------------------------------------
     def spectral_stats(self) -> Dict[str, float]:
@@ -324,9 +340,10 @@ class Trainer:
         return mean_losses, samples
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, output_dir: str, t: int, epoch: int):
+    def save_checkpoint(self, output_dir: str, t: int, epoch: int,
+                        block: bool = True):
         ckpt_lib.save_checkpoint(output_dir, t, epoch, self.state,
-                                 self.cfg, self.vocab)
+                                 self.cfg, self.vocab, block=block)
 
     def restore_checkpoint(self, path: str):
         # to_device / replicate: keep the restored state device-resident —
@@ -397,7 +414,9 @@ class Trainer:
             # Fresh starts (t == 0) do save+validate as the baseline.
             if (checkpoint_every and t % checkpoint_every == 0
                     and cfg.output_dir and (t == 0 or t > start_t)):
-                self.save_checkpoint(cfg.output_dir, t, 0)
+                # In-loop saves overlap the serialization/write with
+                # training (block=False): only the D2H fetch blocks.
+                self.save_checkpoint(cfg.output_dir, t, 0, block=False)
                 if val_loader is not None:
                     for use_gt in (True, False):
                         m, samples = self.check_model(
@@ -457,4 +476,5 @@ class Trainer:
         # itr_<t> already exists and needn't be rewritten.
         if cfg.output_dir and checkpoint_every and t > start_t:
             self.save_checkpoint(cfg.output_dir, t, 0)
+        ckpt_lib.wait_for_saves()  # commit any in-flight async save
         return last

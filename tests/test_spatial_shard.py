@@ -1,6 +1,10 @@
 """Spatial (model-axis) sharding: a dp x sp mesh train step must agree
-with the pure-data-parallel step (GSPMD handles the conv halos) — on
-contract-valid geometries only (parallel.mesh.validate_spatial_mesh)."""
+with the pure-data-parallel step (GSPMD handles the conv halos) — at ANY
+geometry: conv stacks pin each resolution level via
+parallel.mesh.constrain_rows, replicating levels too small to shard
+(lifting the old >=2-rows-per-device-everywhere contract by
+construction; the partitioner never sees the partial-shard conv layout
+it miscompiles)."""
 
 import numpy as np
 import pytest
@@ -16,12 +20,12 @@ from ag2video_tpu.vocab import get_vocab
 
 def tiny_cfg(mesh_model, size=128):
     """128^2 keeps >=2 rows per device at every internal conv height on a
-    2-way model axis (SPADE latent 128/2^5 = 4 rows) — the validated
-    spatial-sharding contract (parallel.mesh.validate_spatial_mesh).
-    Smaller geometries (32^2/model=4: latent 1x1; 64^2/model=2: latent
-    2x2) hit an SPMD-partitioner miscompile where the conv output comes
-    back scaled by exactly the axis size (RESULTS.md "GSPMD partial-shard
-    conv miscompile")."""
+    2-way model axis (SPADE latent 128/2^5 = 4 rows) so nothing needs to
+    replicate. Smaller geometries (32^2/model=4: latent 1x1; 64^2/model=2:
+    latent 2x2) naively hit an SPMD-partitioner miscompile where the conv
+    output comes back scaled by exactly the axis size (RESULTS.md "GSPMD
+    partial-shard conv miscompile") — constrain_rows replicates those
+    levels instead (see test_lifted_contract_miscompile_geometries_agree)."""
     vocab = get_vocab("synthetic")
     cfg = Config(
         dataset="synthetic", image_size=(size, size), batch_size=2,
@@ -59,18 +63,50 @@ def test_spatial_vs_data_parallel_agree():
 
 
 def test_degenerate_spatial_mesh_rejected():
-    """Geometries that leave <2 rows per device at any internal conv
-    height hit the partitioner's partial-shard conv miscompile — the
-    trainer must refuse them up front rather than train on silently
-    axis-size-scaled activations with poisoned BN statistics. Both
-    measured-bad geometries (32^2/model=4 latent 1x1, 64^2/model=2 latent
-    2x2) must be rejected."""
-    for size, model in ((32, 4), (64, 2)):
-        cfg, vocab = tiny_cfg(model, size=size)
-        mesh = make_mesh(data=8 // model, model=model,
-                         devices=jax.devices()[:8])
-        with pytest.raises(ValueError, match="model axis"):
-            Trainer(cfg, vocab, mesh=mesh)
+    """Only image-level degeneracy is refused now: the frame height itself
+    must shard with >=2 rows per device (internal heights are handled by
+    constrain_rows replication). 8^2 frames over an 8-way model axis
+    leave 1 row/device — rejected; a non-dividing axis too."""
+    from ag2video_tpu.parallel.mesh import validate_spatial_mesh
+
+    cfg, vocab = tiny_cfg(8, size=8)
+    mesh = make_mesh(data=1, model=8, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="model axis"):
+        Trainer(cfg, vocab, mesh=mesh)
+    cfg, _ = tiny_cfg(3, size=32)
+    mesh3 = make_mesh(data=1, model=3,
+                      devices=np.resize(jax.devices(), 3))
+    with pytest.raises(ValueError, match="model axis"):
+        validate_spatial_mesh(cfg, mesh3)
+
+
+@pytest.mark.parametrize("size,model,n", [(32, 4, 8)])
+def test_lifted_contract_miscompile_geometries_agree(size, model, n):
+    """The measured-miscompile geometry (32^2/model=4: SPADE latent 1x1,
+    flow bottleneck 8/4 rows; RESULTS.md "GSPMD partial-shard conv
+    miscompile") was previously refused by validate_spatial_mesh. With
+    constrain_rows pinning every resolution level (tiny levels
+    replicated over the model axis), the same geometry must now train and
+    agree with pure data parallel — the contract is lifted by
+    construction, not by validation."""
+    assert len(jax.devices()) >= n
+
+    results = {}
+    for data, m in ((2, 1), (n // model, model)):
+        cfg, vocab = tiny_cfg(m, size=size)
+        mesh = make_mesh(data=data, model=m,
+                         devices=jax.devices()[:data * m])
+        ds = get_dataset("synthetic", "train", cfg)
+        loader = Loader(ds, cfg, shuffle=False)
+        tr = Trainer(cfg, vocab, mesh=mesh)
+        b0 = next(loader.epoch(0))
+        tr.init(b0)
+        res = tr.train_step(b0)
+        results[m] = {k: float(v) for k, v in res.items()}
+
+    a, b = results[1], results[model]
+    for k in a:
+        assert np.isclose(a[k], b[k], rtol=2e-3, atol=1e-4), (k, a[k], b[k])
 
 
 @pytest.mark.slow
@@ -116,14 +152,16 @@ def test_512_spatially_sharded_generation():
 
 
 def test_spatial_min_heights_production_geometries():
-    """The contract must admit the geometries spatial sharding exists for
-    (512^2: model axis up to 8; 256^2: up to 4) and reject beyond."""
+    """The lifted contract admits every geometry spatial sharding exists
+    for — 512^2 up to a 16-way model axis and beyond (tiny internal
+    levels replicate via constrain_rows) — and only refuses image-level
+    degeneracy (frame height itself unshardable)."""
     from ag2video_tpu.parallel.mesh import (spatial_min_heights,
                                             validate_spatial_mesh)
 
     vocab = get_vocab("synthetic")
-    for size, ok_models, bad_model in ((512, (2, 4, 8), 16),
-                                       (256, (2, 4), 8)):
+    for size, ok_models, bad_model in ((512, (2, 4, 8, 16), 512),
+                                       (256, (2, 4, 8, 16), 256)):
         cfg = Config(dataset="synthetic", image_size=(size, size),
                      num_D=2, n_layers_D=4, n_downsample_F=3).derive(vocab)
         mins = spatial_min_heights(cfg)

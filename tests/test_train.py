@@ -129,6 +129,27 @@ def test_checkpoint_roundtrip(trained, tmp_path_factory):
     assert vocab2["action_name_to_idx"] == trainer.vocab["action_name_to_idx"]
 
 
+def test_async_checkpoint_roundtrip(trained, tmp_path_factory):
+    """block=False (the in-loop path) schedules the write in the background
+    — the very next restore must still see the committed bytes
+    (restore_checkpoint waits for in-flight saves), and the contents must
+    equal a blocking save's."""
+    import jax
+
+    cfg, trainer, _, _, train_loader = trained
+    out = str(tmp_path_factory.mktemp("ckpt_async"))
+    t = int(trainer.state.step)
+    before = jax.device_get(trainer.state.params)
+    trainer.save_checkpoint(out, t, 0, block=False)
+
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, trainer.state.params))
+    trainer.restore_checkpoint(out)
+    after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_synthetic_dataset_structure():
     cfg, vocab = tiny_config()
     ds = get_dataset("synthetic", "train", cfg)
