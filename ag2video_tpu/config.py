@@ -143,6 +143,11 @@ class Config:
 
     # Output / checkpointing (reference: data/args.py:85-96)
     timing: bool = False  # reference parses --timing and never reads it
+    # Capture a jax.profiler device trace (TensorBoard/Perfetto) of this
+    # many post-warmup train steps into <output_dir>/profile. 0 = off.
+    # The reference's entire perf-observability story is an unread
+    # --timing flag (data/args.py:86); this one works.
+    profile_steps: int = 0
     # Inception Score over generated frames during the use_gt=True val pass
     # (the reference computes it at every validation, scripts/train.py:175,
     # 247; it has no off switch — this flag exists because with no

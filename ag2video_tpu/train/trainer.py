@@ -15,6 +15,7 @@ params/opt-state inside jit (`_guarded_update`) and bump a skip counter.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -406,7 +407,21 @@ class Trainer:
         start_t = t
         skipped0 = float(self.state.skipped_nan) if not cfg.graph_only else 0.0
         warned_all_skipped = False
+        # --profile_steps N: device trace of steps [start+2, start+2+N)
+        # (first two steps skipped: compile + cache warmup), written to
+        # <output_dir>/profile for TensorBoard/Perfetto.
+        profile_at = (start_t + 2) if cfg.profile_steps else None
+        profiling = False
         while t < num_iterations:
+            if profile_at is not None and not profiling and t >= profile_at:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.output_dir or ".", "profile"))
+                profiling = True
+            elif profiling and t >= profile_at + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling, profile_at = False, None
+                log.info("wrote device trace to %s",
+                         os.path.join(cfg.output_dir or ".", "profile"))
             # Save/validate on the cadence — but not at the resume point
             # (t == start_t > 0): itr_<t> was just restored from disk, and
             # re-writing + re-validating it costs minutes (256^2: ~6 min
@@ -474,6 +489,8 @@ class Trainer:
         # (reference saves 'latest' on exit, train.py:525-528). Skipped when
         # no iteration ran (e.g. fit() re-entered after a completed resume) —
         # itr_<t> already exists and needn't be rewritten.
+        if profiling:  # loop ended inside the trace window
+            jax.profiler.stop_trace()
         if cfg.output_dir and checkpoint_every and t > start_t:
             self.save_checkpoint(cfg.output_dir, t, 0)
         ckpt_lib.wait_for_saves()  # commit any in-flight async save

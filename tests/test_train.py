@@ -224,6 +224,29 @@ def test_fit_wires_inception_into_use_gt_val(tmp_path):
     assert no_gt_rows and "no_use_gt/inception_mean" not in no_gt_rows[0]
 
 
+def test_profile_steps_writes_device_trace(tmp_path):
+    """--profile_steps N captures a jax.profiler device trace of N
+    post-warmup steps into <output_dir>/profile (the reference's perf
+    observability is an unread --timing flag, data/args.py:86)."""
+    import glob as _glob
+
+    cfg, vocab = tiny_config(output_dir=str(tmp_path / "run"),
+                             num_iterations=4, checkpoint_every=0,
+                             profile_steps=1)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+    trainer.fit(train_loader, graph_loader)
+    traces = _glob.glob(str(tmp_path / "run" / "profile" / "**" / "*.pb"),
+                        recursive=True) + \
+        _glob.glob(str(tmp_path / "run" / "profile" / "**" / "*.json.gz"),
+                   recursive=True)
+    assert traces, "no trace artifacts under <output_dir>/profile"
+
+
 def test_spectral_stats_telemetry(trained):
     """Per-layer spectral-sigma telemetry (DESIGN.md §9 drift monitor)."""
     _, trainer, _, _, _ = trained
