@@ -124,3 +124,34 @@ def test_per_host_input_sharding():
     assert set(a) | set(b) == {f"synthetic_train_{i}" for i in range(22)}
     # Stride layout: host h sees indices h, h+2, h+4, ...
     assert a[0] == "synthetic_train_0" and b[0] == "synthetic_train_1"
+
+
+def test_constrain_rows_sharding_decisions():
+    """constrain_rows pins the row axis: sharded over 'model' when every
+    device keeps >=2 rows, replicated otherwise; no-op without an ambient
+    mesh (the lifted spatial-sharding contract, parallel/mesh.py)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ag2video_tpu.parallel.mesh import MODEL_AXIS, constrain_rows, make_mesh
+
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+
+    def row_spec(H, ndim=4):
+        shape = (2,) + (3,) * (ndim - 4) + (H, 4, 2)
+        x = jax.device_put(jnp.zeros(shape), NamedSharding(mesh, P("data")))
+        with jax.sharding.set_mesh(mesh):
+            y = jax.jit(constrain_rows)(x)
+        s = tuple(y.sharding.spec)
+        row_axis = ndim - 3
+        return s[row_axis] if len(s) > row_axis else None
+
+    assert row_spec(8) == MODEL_AXIS        # 2 rows/device: sharded
+    assert row_spec(4) is None              # 1 row/device: replicated
+    assert row_spec(2) is None              # fewer rows than devices
+    assert row_spec(6) is None              # non-dividing H
+    assert row_spec(16, ndim=5) == MODEL_AXIS  # (B,T,H,W,C) video rank
+
+    # Without an ambient mesh: identity (no constraint nodes traced).
+    x = jnp.zeros((2, 4, 4, 2))
+    assert constrain_rows(x) is x
