@@ -1,0 +1,103 @@
+"""Audit spectral-norm power-iteration accuracy on a checkpoint.
+
+Context (DESIGN.md §9 / VERDICT r2 item 3): sigma/G_max telemetry grows
+roughly linearly over long 256^2 GAN runs. Under spectral normalization
+the APPLIED kernel is W/sigma_hat(W); raw-kernel norm growth is a gauge
+direction the optimizer is free to drift along (nothing in the loss
+penalizes it). It is benign IF AND ONLY IF the once-per-step power
+iteration keeps tracking the true top singular value — a stale sigma_hat
+would under-normalize and break the discriminator's Lipschitz constraint
+silently. This tool settles it: for every spectrally-normalized kernel it
+compares the stored power-iteration estimate against an exact SVD of the
+same matrix view flax uses (kernel reshaped to (-1, out_features),
+flax/linen/normalization.py SpectralNorm._spectral_normalize).
+
+    python -m tools.sigma_audit <run_dir_or_itr_path>
+
+Prints per-network worst/mean relative error and the largest offenders.
+
+Reference context: torch runs one PI update per FORWARD
+(torch/nn/utils/spectral_norm.py), this repo one per STEP; the reference
+never audits accuracy at all.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+
+def audit_tree(params, spectral, tag):
+    """Yield (path, sigma_hat, sigma_true) for every PI state in
+    `spectral` matched to its kernel in `params`."""
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    kernels = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_p}
+    flat_s = jax.tree_util.tree_flatten_with_path(spectral)[0]
+    sigmas = {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat_s
+              if jax.tree_util.keystr(p).endswith("/sigma']")}
+    rows = []
+    import re
+
+    def normalize(keystr_path):
+        return (keystr_path.replace("']['", "/").replace("['", "")
+                .replace("']", ""))
+
+    kernels_norm = {normalize(k): v for k, v in kernels.items()}
+    for spath, sig in sigmas.items():
+        # flax SpectralNorm state path:
+        #   ['mod']['SpectralNorm_0']['conv/kernel/sigma']
+        # matching params path: ['mod']['conv']['kernel'] — normalize both
+        # to mod/conv/kernel (drop the SpectralNorm_<n> scope + /sigma).
+        norm = re.sub(r"SpectralNorm_\d+/", "", normalize(spath))
+        norm = norm[:-len("/sigma")]
+        kern = kernels_norm.get(norm)
+        if kern is None:
+            print(f"  WARNING unmatched sigma state: {norm}")
+            continue
+        mat = kern.reshape(-1, kern.shape[-1])  # flax's matrix view
+        sigma_true = float(np.linalg.svd(mat, compute_uv=False)[0])
+        rows.append((norm, float(np.ravel(sig)[0]), sigma_true))
+    if not rows:
+        print(f"{tag}: no spectral state")
+        return rows
+    errs = [abs(h - t) / max(t, 1e-12) for _, h, t in rows]
+    worst = int(np.argmax(errs))
+    print(f"{tag}: {len(rows)} kernels | rel err mean {np.mean(errs):.2%} "
+          f"max {np.max(errs):.2%} | sigma_true max "
+          f"{max(t for _, _, t in rows):.3f}")
+    print(f"  worst: {rows[worst][0]} sigma_hat {rows[worst][1]:.4f} "
+          f"vs true {rows[worst][2]:.4f}")
+    for norm, h, t in sorted(rows, key=lambda r: -abs(r[1] - r[2]) / r[2])[:5]:
+        print(f"    {norm}: hat {h:.4f} true {t:.4f} "
+              f"({abs(h - t) / t:.2%})")
+    return rows
+
+
+def main(path):
+    import os
+    import re
+
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.train.trainer import Trainer
+
+    run_dir = os.path.dirname(path.rstrip("/")) \
+        if re.match(r".*itr_\d+$", path.rstrip("/")) else path
+    cfg, vocab = Config.load_run_args(run_dir)
+    cfg = cfg.replace(output_dir="")
+    trainer = Trainer(cfg, vocab)
+    ds = get_dataset(cfg.dataset, "train", cfg)
+    trainer.init(next(Loader(ds, cfg, shuffle=False).epoch(0)))
+    trainer.restore_checkpoint(path)
+    st = trainer.state
+    g = audit_tree(st.params, st.model_state.get("spectral", {}), "G")
+    d = audit_tree(st.d_params, st.d_state.get("spectral", {}), "D")
+    errs = [abs(h - t) / max(t, 1e-12) for _, h, t in g + d]
+    print(f"ALL: rel err mean {np.mean(errs):.2%} max {np.max(errs):.2%}")
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    main(sys.argv[1])
