@@ -18,3 +18,4 @@ from ag2video_tpu.models.discriminator import (  # noqa: F401
     NLayerActionDiscriminator,
 )
 from ag2video_tpu.models.meta import AG2VideoModel  # noqa: F401
+from ag2video_tpu.models.encoder import ConvEncoder  # noqa: F401

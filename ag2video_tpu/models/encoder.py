@@ -1,0 +1,67 @@
+"""VAE image encoder (reference: models/spade_models/networks/encoder.py).
+
+The reference registers `ConvEncoder` in its network registry
+(networks/__init__.py:9,33) and carries the VAE flags (--z_dim 256,
+--nef, --lambda_kld, data/args.py:134-159) but never instantiates the
+encoder in any model — the SPADE-heritage multimodal-synthesis path is
+latent upstream. It is implemented here so the style-code path is
+available (pair with `losses.perceptual.kld_loss`); nothing in the
+default training graph uses it, matching the reference.
+
+Architecture parity (reference encoder.py:20-57): inputs are bilinearly
+resized to 256x256, then 5 stride-2 3x3 convs (nf, 2nf, 4nf, 8nf, 8nf)
+each wrapped in the non-SPADE norm grammar (default 'spectralinstance',
+data/args.py:107) with leaky-relu(0.2) BETWEEN layers (the first conv's
+input is not activated), a 6th 8nf conv for >=256 inputs (always taken
+here since we resize first, reference encoder.py:31-32 keys on the
+CONFIGURED image size — we key on the actual post-resize one, which is
+the behavior the upstream comment intends), flatten, and two Dense heads
+-> (mu, logvar) of width z_dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.models.normalization import NormConv, actvn
+
+Dtype = Any
+
+
+class ConvEncoder(nn.Module):
+    """Image -> (mu, logvar) style posterior (reference encoder.py:14-57)."""
+
+    nf: int = 64          # reference uses ndf = opt.ngf (encoder.py:22)
+    z_dim: int = 256      # --z_dim default (data/args.py:134)
+    norm: str = "spectralinstance"  # --norm_E default (data/args.py:107)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, H, W, C = x.shape
+        if (H, W) != (256, 256):
+            x = jax.image.resize(x, (B, 256, 256, C), method="bilinear")
+        widths = (1, 2, 4, 8, 8, 8)  # 6th layer: 256-input path
+        for i, w in enumerate(widths):
+            if i:
+                x = actvn(x)
+            x = NormConv(self.nf * w, self.norm, kernel_size=3, strides=2,
+                         dtype=self.dtype, name=f"layer{i + 1}")(x, train)
+        x = actvn(x)
+        x = x.reshape(B, -1)  # (B, 4*4*8nf)
+        mu = nn.Dense(self.z_dim, dtype=self.dtype, name="fc_mu")(x)
+        logvar = nn.Dense(self.z_dim, dtype=self.dtype, name="fc_var")(x)
+        return mu, logvar
+
+
+def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """z = mu + std * eps (the VAE sampling step the upstream SPADE
+    codebase pairs with ConvEncoder)."""
+    std = jnp.exp(0.5 * logvar)
+    return mu + std * jax.random.normal(rng, mu.shape, dtype=mu.dtype)

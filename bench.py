@@ -21,11 +21,12 @@ import time
 
 BASELINE_FPS = 24.0  # BASELINE.md: >24 generated frames/sec/chip
 # B=2: the reference's cmdline batch; B=8: best measured batch (RESULTS.md
-# r3 sweep). Each size is a separate ~9-min cold XLA:TPU compile (cached
-# across runs by utils/compilation_cache.py), so the sweep stays at the two
+# r3 sweep); B=16: probes whether throughput is still batch-limited past
+# B=8. Each size is a separate ~9-min cold XLA:TPU compile (cached across
+# runs by utils/compilation_cache.py), so the sweep stays at the three
 # informative sizes; any entry may fail (e.g. RESOURCE_EXHAUSTED at a
 # larger B) — measure() failures are skipped, not fatal.
-BATCH_SIZES = (2, 8)
+BATCH_SIZES = (2, 8, 16)
 T = 8                 # 8-frame clips; 7 generated frames per sample
 
 

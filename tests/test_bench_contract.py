@@ -31,7 +31,7 @@ def _run_main(monkeypatch, fake_measure):
 
 
 def test_single_json_line_best_batch(monkeypatch):
-    fps = {2: 100.0, 8: 150.0}
+    fps = {2: 100.0, 8: 150.0, 16: 140.0}
     stdout, stderr = _run_main(monkeypatch, lambda B, size=(256, 256): fps[B])
     lines = [l for l in stdout.strip().splitlines() if l]
     assert len(lines) == 1, stdout

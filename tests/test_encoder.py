@@ -1,0 +1,52 @@
+"""ConvEncoder (VAE style encoder) parity tests.
+
+Reference: models/spade_models/networks/encoder.py — registered in the
+upstream network registry (networks/__init__.py:33) but never wired into
+a model; implemented here for completeness of the SPADE-heritage VAE
+path (pairs with losses.perceptual.kld_loss)."""
+
+import jax
+import jax.numpy as jnp
+
+from ag2video_tpu.losses.perceptual import kld_loss
+from ag2video_tpu.models.encoder import ConvEncoder, reparameterize
+
+
+def _init_apply(H, W, nf=8, train=True):
+    enc = ConvEncoder(nf=nf, z_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, 3))
+    variables = enc.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    (mu, logvar), new_vars = enc.apply(
+        variables, x, train=train, mutable=["spectral"] if train else [])
+    return enc, variables, mu, logvar
+
+
+def test_shapes_256():
+    _, variables, mu, logvar = _init_apply(256, 256)
+    assert mu.shape == (2, 16) and logvar.shape == (2, 16)
+    # 6 conv layers at 256^2 (reference encoder.py:31-32) -> 4x4 bottleneck:
+    # fc_mu input width is 4*4*8*nf.
+    assert variables["params"]["fc_mu"]["kernel"].shape == (4 * 4 * 8 * 8, 16)
+
+
+def test_non_256_inputs_resized():
+    # Reference encoder.py:42-44: any non-256 input is bilinearly resized,
+    # so the parameter structure (and output) shape is size-independent.
+    _, v64, mu, logvar = _init_apply(64, 64)
+    _, v256, _, _ = _init_apply(256, 256)
+    t64 = jax.tree_util.tree_structure(v64["params"])
+    t256 = jax.tree_util.tree_structure(v256["params"])
+    assert t64 == t256
+    assert mu.shape == (2, 16)
+    assert bool(jnp.isfinite(mu).all() and jnp.isfinite(logvar).all())
+
+
+def test_reparameterize_and_kld():
+    _, _, mu, logvar = _init_apply(64, 64, train=False)
+    z = reparameterize(jax.random.PRNGKey(2), mu, logvar)
+    assert z.shape == mu.shape
+    kld = kld_loss(mu, logvar)
+    assert bool(jnp.isfinite(kld))
+    # KLD of an exact standard normal posterior is zero.
+    zero = kld_loss(jnp.zeros((2, 16)), jnp.zeros((2, 16)))
+    assert float(zero) == 0.0
