@@ -1,0 +1,159 @@
+"""TensorBoard event-file writer: format-level round trip.
+
+The decoder here is written independently of utils/tfevents.py's encoder
+(its own varint/wire-type walker) so a shared encoding bug can't
+self-validate. Reference behavior being matched: tensorboardX scalar
+logging (reference scripts/train.py:353, models/utils.py:78-81).
+"""
+
+import struct
+
+from ag2video_tpu.utils.logging import MetricsWriter
+from ag2video_tpu.utils.tfevents import crc32c, masked_crc32c
+
+
+def test_crc32c_known_vector():
+    # RFC 3720 / standard check value for CRC-32C.
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def _read_records(path):
+    """TFRecord framing walk, verifying both CRCs per record."""
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        header = data[pos:pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        (hcrc,) = struct.unpack("<I", data[pos + 8:pos + 12])
+        assert hcrc == masked_crc32c(header)
+        payload = data[pos + 12:pos + 12 + length]
+        (pcrc,) = struct.unpack("<I",
+                                data[pos + 12 + length:pos + 16 + length])
+        assert pcrc == masked_crc32c(payload)
+        out.append(payload)
+        pos += 16 + length
+    return out
+
+
+def _walk(buf):
+    """Yield (field, wire, value) triples of one protobuf message."""
+    pos = 0
+    while pos < len(buf):
+        key = 0
+        shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:  # 64-bit
+            v = buf[pos:pos + 8]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            n = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                n |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = buf[pos:pos + n]
+            pos += n
+        elif wire == 5:  # 32-bit
+            v = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise AssertionError(f"unexpected wire type {wire}")
+        yield field, wire, v
+
+
+def _decode_event(payload):
+    ev = {"scalars": {}}
+    for field, wire, v in _walk(payload):
+        if field == 1 and wire == 1:
+            ev["wall_time"] = struct.unpack("<d", v)[0]
+        elif field == 2 and wire == 0:
+            ev["step"] = v
+        elif field == 3 and wire == 2:
+            ev["file_version"] = v.decode()
+        elif field == 5 and wire == 2:  # Summary
+            for f2, w2, value_msg in _walk(v):
+                assert (f2, w2) == (1, 2)
+                tag, simple = None, None
+                for f3, w3, v3 in _walk(value_msg):
+                    if (f3, w3) == (1, 2):
+                        tag = v3.decode()
+                    elif (f3, w3) == (2, 5):
+                        simple = struct.unpack("<f", v3)[0]
+                ev["scalars"][tag] = simple
+    return ev
+
+
+def test_metrics_writer_tee_round_trip(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.write(0, {"loss/total": 1.5, "iou": 0.25})
+    w.write(10, {"loss/total": 0.75})
+    w.close()
+
+    event_files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert len(event_files) == 1
+    records = _read_records(event_files[0])
+    events = [_decode_event(r) for r in records]
+
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[1]["step"] == 0
+    assert events[1]["scalars"]["loss/total"] == 1.5
+    assert events[1]["scalars"]["iou"] == 0.25
+    assert events[2]["step"] == 10
+    assert events[2]["scalars"]["loss/total"] == 0.75
+    assert all(ev.get("wall_time", 1.0) > 0 for ev in events)
+
+    # JSONL twin still written.
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_jsonl_converter_round_trip(tmp_path):
+    import json
+    import subprocess
+    import sys
+    (tmp_path / "metrics.jsonl").write_text(
+        json.dumps({"step": 3, "time": 10.0, "loss": 2.5}) + "\n"
+        + json.dumps({"step": 7, "time": 11.0, "loss": 1.25, "tag": "s"})
+        + "\n")
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "jsonl_to_tfevents.py"),
+         str(tmp_path)], check=True, cwd=repo)
+    (evf,) = tmp_path.glob("events.out.tfevents.*")
+    events = [_decode_event(r) for r in _read_records(evf)]
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[1]["step"] == 3 and events[1]["scalars"]["loss"] == 2.5
+    assert events[1]["wall_time"] == 10.0
+    assert events[2]["step"] == 7 and events[2]["scalars"]["loss"] == 1.25
+    assert "tag" not in events[2]["scalars"]  # non-numeric column skipped
+
+
+def test_tfevents_opt_out(tmp_path):
+    w = MetricsWriter(str(tmp_path), tfevents=False)
+    w.write(0, {"a": 1.0})
+    w.close()
+    assert not list(tmp_path.glob("events.out.tfevents.*"))

@@ -1,0 +1,54 @@
+"""Export an existing metrics.jsonl run to a TensorBoard event file.
+
+Runs recorded before the tfevents tee existed (utils/tfevents.py) — or
+with it disabled — can be made TensorBoard-browsable after the fact:
+
+    python tools/jsonl_to_tfevents.py <run_dir> [...]
+
+Each <run_dir> must contain metrics.jsonl (the MetricsWriter stream);
+an events.out.tfevents.* file is written next to it, preserving per-row
+step and wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ag2video_tpu.utils.tfevents import (  # noqa: E402
+    TFEventsWriter, encode_scalar_event, frame_record)
+
+
+def convert(run_dir: str) -> str:
+    src = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(src):
+        raise FileNotFoundError(src)
+    writer = TFEventsWriter(run_dir)
+    n = 0
+    with open(src) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            step = int(rec.pop("step", n))
+            wall = float(rec.pop("time", 0.0)) or None
+            scalars = {k: float(v) for k, v in rec.items()
+                       if isinstance(v, (int, float))}
+            if scalars:
+                writer._f.write(frame_record(
+                    encode_scalar_event(step, scalars, wall_time=wall)))
+                n += 1
+    writer.close()
+    print(f"{run_dir}: {n} rows -> {writer.path}")
+    return writer.path
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    for d in sys.argv[1:]:
+        convert(d)
