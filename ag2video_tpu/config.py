@@ -155,6 +155,16 @@ class Config:
     val_inception: bool = True
     print_every: int = 10
     checkpoint_every: int = 10_000
+    # Every Nth periodic in-loop save is a FULL checkpoint (params + all
+    # optimizer states); the others are LIGHT (params/model_state/D only —
+    # ~1/3 of the bytes). On the tunneled TPU the optimizer states are ~2/3
+    # of a ~104 s blocking D2H fetch per save (ROADMAP "orbax save
+    # breakdown"), so light saves cut the periodic cost to ~1/3. Resume
+    # from a light save restores model weights + counters but resets
+    # optimizer moments (logged); the final save on exit is always full.
+    # 1 = every periodic save full (the old behavior); reference saves the
+    # full dict every time (scripts/train.py:528-543).
+    full_checkpoint_every_n: int = 4
     output_dir: str = "output/run"
     run_name: str = "debug"
     restore_checkpoint: bool = False

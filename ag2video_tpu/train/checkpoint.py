@@ -29,6 +29,22 @@ def checkpoint_path(output_dir: str, t: int) -> str:
     return os.path.join(os.path.abspath(output_dir), f"itr_{t}")
 
 
+# Fields saved by a LIGHT checkpoint: everything needed for inference and
+# for a weights-preserving resume, i.e. the TrainState minus the three
+# optimizer states (which are ~2/3 of the fetched bytes — ROADMAP "orbax
+# save breakdown": 82.7 s D2H of ~2 GB fp32 params+opt at ~40 MB/s).
+LIGHT_FIELDS = ("step", "epoch", "params", "model_state",
+                "d_params", "d_state", "vgg_params", "skipped_nan")
+
+
+def _light_marker(path: str) -> str:
+    return os.path.abspath(path) + ".light"
+
+
+def is_light_checkpoint(path: str) -> bool:
+    return os.path.exists(_light_marker(path))
+
+
 # One process-wide async checkpointer: in-loop saves schedule the
 # serialization/write in the background and return after the (mandatory)
 # device->host fetch, overlapping the write with training — at 256^2 the
@@ -53,18 +69,33 @@ def wait_for_saves() -> None:
 
 def save_checkpoint(output_dir: str, t: int, epoch: int, state,
                     cfg: Config, vocab: Dict[str, Any],
-                    block: bool = True) -> str:
+                    block: bool = True, light: bool = False) -> str:
     """Save the TrainState at itr_<t>. block=False returns once the
     device->host fetch is done and the write is scheduled (the host copy is
     immutable, so training can continue immediately); the breakdown of the
-    two phases is logged for the save-cost diagnosis."""
+    two phases is logged for the save-cost diagnosis.
+
+    light=True saves only LIGHT_FIELDS (no optimizer states): the D2H fetch
+    drops to ~1/3 of the bytes. A sibling `itr_<t>.light` marker lets
+    restore_checkpoint detect the format; resuming from one resets the
+    optimizer moments (Config.full_checkpoint_every_n controls the cadence).
+    """
     import time
 
     os.makedirs(output_dir, exist_ok=True)
     cfg.save_run_args(output_dir, vocab)
     path = checkpoint_path(output_dir, t)
+    marker = _light_marker(path)
     t0 = time.time()
-    host_state = jax.device_get(state)
+    if light:
+        host_state = jax.device_get(
+            {k: getattr(state, k) for k in LIGHT_FIELDS})
+        with open(marker, "w") as f:
+            json.dump({"fields": list(LIGHT_FIELDS)}, f)
+    else:
+        host_state = jax.device_get(state)
+        if os.path.exists(marker):  # full save overwriting an old light one
+            os.remove(marker)
     t_fetch = time.time() - t0
     t0 = time.time()
     if block:
@@ -78,17 +109,23 @@ def save_checkpoint(output_dir: str, t: int, epoch: int, state,
         verb = "scheduled async save of"
     with open(os.path.join(output_dir, "counters.json"), "w") as f:
         json.dump({"t": t, "epoch": epoch}, f)
-    log.info("%s checkpoint %s (D2H fetch %.1fs, write phase %.1fs)",
-             verb, path, t_fetch, time.time() - t0)
+    log.info("%s %s checkpoint %s (D2H fetch %.1fs, write phase %.1fs)",
+             verb, "light" if light else "full", path, t_fetch,
+             time.time() - t0)
     return path
 
 
-def latest_checkpoint(output_dir: str) -> Optional[str]:
+def latest_checkpoint(output_dir: str,
+                      full_only: bool = False) -> Optional[str]:
+    """Newest itr_* dir; full_only=True skips light checkpoints (for a
+    resume that must preserve optimizer state)."""
     paths = glob.glob(os.path.join(os.path.abspath(output_dir), "itr_*"))
     best, best_t = None, -1
     for p in paths:
         m = re.match(r".*itr_(\d+)$", p)
         if m and int(m.group(1)) > best_t:
+            if full_only and is_light_checkpoint(p):
+                continue
             best, best_t = p, int(m.group(1))
     return best
 
@@ -120,20 +157,29 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False,
         path = found
     target = jax.device_get(target_state)
     path = os.path.abspath(path)
-    if for_inference:
-        # Raw (structure-free) restore, then adopt only the model-side
-        # fields — tolerates optimizer-state structure drift between
-        # framework versions.
+    light = is_light_checkpoint(path)
+    if for_inference or light:
+        # Raw (structure-free) restore, then adopt only the fields present
+        # — tolerates optimizer-state structure drift between framework
+        # versions (for_inference) and the light-save format (no optimizer
+        # states on disk at all).
         with ocp.PyTreeCheckpointer() as ckptr:
             raw = ckptr.restore(path)
-        keep = ("params", "model_state", "d_params", "d_state",
-                "vgg_params", "step", "epoch")
+        keep = LIGHT_FIELDS if not for_inference else (
+            "params", "model_state", "d_params", "d_state",
+            "vgg_params", "step", "epoch")
         updates = {}
         for k in keep:
             if k in raw and raw[k] is not None:
                 updates[k] = flax.serialization.from_state_dict(
                     getattr(target, k), raw[k])
         restored = target.replace(**updates)
+        if light and not for_inference:
+            log.warning(
+                "resuming from LIGHT checkpoint %s: model weights + "
+                "counters restored, optimizer moments RESET (light saves "
+                "skip optimizer state; see Config.full_checkpoint_every_n)",
+                path)
     else:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, target)

@@ -327,7 +327,12 @@ class Trainer:
             if n_seen >= max_samples:
                 break
         denom = max(tot[3], 1.0)
-        mean_losses = {
+        # The layout rollout ignores boxes_in past the seed frame, so the
+        # box-IoU triple is bit-identical in both val modes — report it only
+        # from the use_gt=False pass (the use_gt=True pass exists to score
+        # *generated frames*: IS + the gt_val video artifacts; reference
+        # scripts/train.py:175, 247).
+        mean_losses = {} if use_gt else {
             "avg_iou": tot[0] / denom,
             "total_iou_05": tot[1] / denom,
             "total_iou_03": tot[2] / denom,
@@ -342,9 +347,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, output_dir: str, t: int, epoch: int,
-                        block: bool = True):
+                        block: bool = True, light: bool = False):
         ckpt_lib.save_checkpoint(output_dir, t, epoch, self.state,
-                                 self.cfg, self.vocab, block=block)
+                                 self.cfg, self.vocab, block=block,
+                                 light=light)
 
     def restore_checkpoint(self, path: str):
         # to_device / replicate: keep the restored state device-resident —
@@ -391,9 +397,12 @@ class Trainer:
             inception_score = InceptionScore(params)
             if inception_score.random_init:
                 log.warning(
-                    "no pretrained InceptionV3 asset; val Inception Score "
-                    "will be reported as inception_randomnet_* (see "
-                    "scripts/port_torch_weights.py)")
+                    "no pretrained InceptionV3 asset: SKIPPING the val "
+                    "Inception Score — a random-init backbone scores a "
+                    "constant ~1.0 (zero signal) and costs an inception "
+                    "forward per val frame; port weights via "
+                    "scripts/port_torch_weights.py to enable it")
+                inception_score = None
         num_iterations = num_iterations or cfg.num_iterations
         log_every = log_every or cfg.print_every
         checkpoint_every = checkpoint_every or cfg.checkpoint_every
@@ -430,8 +439,14 @@ class Trainer:
             if (checkpoint_every and t % checkpoint_every == 0
                     and cfg.output_dir and (t == 0 or t > start_t)):
                 # In-loop saves overlap the serialization/write with
-                # training (block=False): only the D2H fetch blocks.
-                self.save_checkpoint(cfg.output_dir, t, 0, block=False)
+                # training (block=False): only the D2H fetch blocks — and
+                # light saves (no optimizer states) cut that fetch to ~1/3;
+                # every full_checkpoint_every_n-th save is full so resume
+                # keeps its optimizer moments (final save is always full).
+                n_full = max(cfg.full_checkpoint_every_n, 1)
+                light = (t // checkpoint_every) % n_full != 0
+                self.save_checkpoint(cfg.output_dir, t, 0, block=False,
+                                     light=light)
                 if val_loader is not None:
                     for use_gt in (True, False):
                         m, samples = self.check_model(
@@ -439,8 +454,9 @@ class Trainer:
                             inception_score=(inception_score if use_gt
                                              else None))
                         tag = "use_gt" if use_gt else "no_use_gt"
-                        log.info("val[%s] @%d: %s", tag, t, m)
-                        if metrics_writer:
+                        log.info("val[%s] @%d: %s", tag, t,
+                                 m or "(artifacts only)")
+                        if metrics_writer and m:
                             metrics_writer.write(t, {f"{tag}/{k}": v
                                                      for k, v in m.items()})
                         # Per-checkpoint video artifacts (reference

@@ -150,6 +150,98 @@ def test_async_checkpoint_roundtrip(trained, tmp_path_factory):
         np.testing.assert_array_equal(a, b)
 
 
+def test_light_checkpoint_roundtrip(trained, tmp_path_factory):
+    """Light saves (no optimizer states) restore model weights + counters
+    and reset optimizer moments; latest_checkpoint(full_only=True) skips
+    them (VERDICT r3 item 4 — cuts the ~104 s periodic D2H fetch to ~1/3)."""
+    import jax
+
+    from ag2video_tpu.train.checkpoint import (
+        is_light_checkpoint, latest_checkpoint)
+
+    cfg, trainer, _, _, train_loader = trained
+    out = str(tmp_path_factory.mktemp("ckpt_light"))
+    t = int(trainer.state.step)
+    trainer.save_checkpoint(out, t, 0, light=True)
+    path = latest_checkpoint(out)
+    assert path and path.endswith(f"itr_{t}")
+    assert is_light_checkpoint(path)
+    # No full checkpoint exists yet.
+    assert latest_checkpoint(out, full_only=True) is None
+
+    before_params = jax.device_get(trainer.state.params)
+    before_opt = jax.device_get(trainer.state.opt_gen_state)
+    skipped = int(trainer.state.skipped_nan)
+    # Perturb params AND optimizer state, then restore the light save.
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, trainer.state.params),
+        opt_gen_state=jax.tree.map(
+            lambda x: x + 3.0 if hasattr(x, "dtype") else x,
+            trainer.state.opt_gen_state))
+    perturbed_opt = jax.device_get(trainer.state.opt_gen_state)
+    trainer.restore_checkpoint(path)
+    after_params = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(before_params),
+                    jax.tree.leaves(after_params)):
+        np.testing.assert_array_equal(a, b)
+    # Counters restored; optimizer state NOT restored (stays perturbed —
+    # the caller's target provides it; fit()'s restore target is fresh).
+    assert int(trainer.state.step) == t
+    assert int(trainer.state.skipped_nan) == skipped
+    for a, b in zip(jax.tree.leaves(perturbed_opt),
+                    jax.tree.leaves(jax.device_get(
+                        trainer.state.opt_gen_state))):
+        np.testing.assert_array_equal(a, b)
+    # Device-committed, like the full restore path.
+    for leaf in jax.tree.leaves(trainer.state):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+    # A later FULL save is found by full_only and restores optimizer state.
+    trainer.save_checkpoint(out, t + 1, 0, light=False)
+    full = latest_checkpoint(out, full_only=True)
+    assert full and full.endswith(f"itr_{t + 1}")
+    assert not is_light_checkpoint(full)
+    trainer.state = trainer.state.replace(
+        opt_gen_state=jax.tree.map(
+            lambda x: x * 0 if hasattr(x, "dtype") else x,
+            trainer.state.opt_gen_state))
+    trainer.restore_checkpoint(full)
+    for a, b in zip(jax.tree.leaves(perturbed_opt),
+                    jax.tree.leaves(jax.device_get(
+                        trainer.state.opt_gen_state))):
+        np.testing.assert_array_equal(a, b)
+
+    # Restore trainer to the full state so later module-scoped tests see
+    # consistent params (fixture is shared).
+    trainer.restore_checkpoint(full)
+
+
+def test_fit_light_save_cadence(tmp_path):
+    """fit()'s in-loop saves follow full_checkpoint_every_n: index-0 and
+    every Nth periodic save full, the rest light; the final save is full."""
+    from ag2video_tpu.train.checkpoint import is_light_checkpoint
+
+    cfg, vocab = tiny_config(output_dir=str(tmp_path / "run"),
+                             num_iterations=3, checkpoint_every=1,
+                             full_checkpoint_every_n=2,
+                             num_val_samples=2, val_inception=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+    trainer.fit(train_loader, graph_loader)
+
+    def lightness(t):
+        return is_light_checkpoint(os.path.join(cfg.output_dir, f"itr_{t}"))
+
+    assert not lightness(0)    # index 0 -> full
+    assert lightness(1)        # index 1 -> light
+    assert not lightness(2)    # index 2 % 2 == 0 -> full
+    assert not lightness(3)    # final save: always full
+
+
 def test_synthetic_dataset_structure():
     cfg, vocab = tiny_config()
     ds = get_dataset("synthetic", "train", cfg)

@@ -1,0 +1,46 @@
+#!/bin/bash
+# 20k-iteration 256^2 GAN-stability run (VERDICT r3 item 1), executed as
+# resumed 5k segments: the tunneled-TPU client leaks ~7.7 MB of pinned host
+# memory per train step (RESULTS.md "host-memory leak"), so one process
+# OOMs the 128 GB host near ~15-16k iterations — planned restarts at the
+# segment boundaries keep each process comfortably under the ceiling and
+# exercise the auto-resume path deliberately.
+#
+# full_checkpoint_every_n=2 => full saves at 0/5k/10k/15k/20k, light saves
+# at 2.5k/7.5k/12.5k/17.5k: segment boundaries land on FULL checkpoints so
+# Adam moments are never reset mid-run (keeps the stability evidence
+# un-confounded) while the light-save D2H cost still gets measured in-run
+# (VERDICT r3 item 4).
+#
+# DEADLINE_EPOCH (optional env): no NEW segment starts after this unix
+# time — the chip must be free for the end-of-round bench; an in-flight
+# segment always runs to completion (killing mid-TPU-execution wedges the
+# chip, CLAUDE.md gotchas).
+set -u
+cd /root/repo
+mkdir -p output
+LOG=output/stab256.log
+DEADLINE_EPOCH="${DEADLINE_EPOCH:-0}"
+COMMON="--dataset synthetic --image_size 256,256 --batch_size 2 \
+  --output_dir output/stab256 --checkpoint_every 2500 --print_every 50 \
+  --full_checkpoint_every_n 2"
+
+for TARGET in 5000 10000 15000 20000; do
+  if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "=== deadline passed, stopping before target=$TARGET $(date -u +%FT%TZ) ===" >> "$LOG"
+    break
+  fi
+  for attempt in 1 2 3; do
+    RESUME=""
+    if ls output/stab256/itr_* >/dev/null 2>&1; then
+      RESUME="--restore_checkpoint 1"
+    fi
+    echo "=== segment target=$TARGET attempt=$attempt resume='$RESUME' $(date -u +%FT%TZ) ===" >> "$LOG"
+    python -m scripts.train $COMMON --num_iterations "$TARGET" $RESUME >> "$LOG" 2>&1
+    rc=$?
+    echo "=== segment target=$TARGET attempt=$attempt exited rc=$rc $(date -u +%FT%TZ) ===" >> "$LOG"
+    [ $rc -eq 0 ] && break
+    sleep 30  # let a SIGKILL'd orbax writer / the tunnel settle
+  done
+done
+echo "=== run_stab256 done $(date -u +%FT%TZ) ===" >> "$LOG"
