@@ -18,8 +18,11 @@ Then everything here follows two rules:
    reference's DistributedSampler hook (reference scripts/train.py:128-133,
    which is dead code upstream).
 
-`scripts/train.py` wires both rules already; a pod launch needs no flags
-beyond the ambient TPU runtime.
+`scripts/train.py` wires both rules already, plus the init itself
+(`maybe_init_distributed`): TPU pod runtimes auto-initialize, any other
+launcher announces itself with the standard JAX env triple
+(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) — smoked
+end-to-end by tests/test_multiprocess.py with two real processes.
 """
 
 from __future__ import annotations
@@ -146,6 +149,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _place_global(x, sharding: NamedSharding):
+    """Commit host data to a (possibly multi-host) sharding.
+
+    Single process: plain device_put. Multi-process: each host holds only
+    its LOCAL slice (the Loader feeds batch_size samples per host), and
+    device_put cannot address other hosts' devices — assemble the global
+    array from per-process shards instead (for replicated specs every host
+    passes the same full value)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch: Any, mesh: Mesh, spatial: bool = False) -> Any:
     """Place a batch pytree with its batch axis sharded over 'data'.
 
@@ -162,8 +178,8 @@ def shard_batch(batch: Any, mesh: Mesh, spatial: bool = False) -> Any:
     def place(x):
         if (spatial and hasattr(x, "ndim") and x.ndim == 5
                 and x.shape[2] % mesh.shape[MODEL_AXIS] == 0):
-            return jax.device_put(x, s_video)
-        return jax.device_put(x, s_batch)
+            return _place_global(x, s_video)
+        return _place_global(x, s_batch)
 
     return jax.tree.map(place, batch)
 
@@ -171,4 +187,4 @@ def shard_batch(batch: Any, mesh: Mesh, spatial: bool = False) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (parameters, optimizer state)."""
     s = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: _place_global(x, s), tree)

@@ -60,7 +60,40 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def maybe_init_distributed():
+    """Multi-host init (parallel/mesh.py launch contract).
+
+    TPU pod runtimes auto-initialize, but every other launcher must call
+    jax.distributed.initialize() BEFORE the first jax.devices() or the
+    process only sees its local chips. Trigger on the standard JAX env
+    triple (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) or
+    an explicit JAX_DISTRIBUTED=1 (pod auto-detect); strict no-op on a
+    plain single-host launch so the tunneled single-chip flow is untouched.
+    """
+    import os
+
+    import jax
+
+    want = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_DISTRIBUTED") == "1")
+    if not want:
+        return
+    kw = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kw)
+    log.info("jax.distributed initialized: process %d of %d, %d/%d devices "
+             "local/global", jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+
+
 def main(argv=None):
+    maybe_init_distributed()
+
     from ag2video_tpu.config import Config
     from ag2video_tpu.data.registry import Loader, get_dataset
     from ag2video_tpu.parallel import make_mesh

@@ -1,0 +1,69 @@
+"""Worker for the 2-process multi-host smoke (tests/test_multiprocess.py).
+
+Each process owns N virtual CPU devices; jax.distributed.initialize joins
+them into one global runtime. The worker then follows the exact
+parallel/mesh.py launch contract scripts/train.py implements: global mesh
+over jax.devices(), per-host Loader slice, one jitted train step (GSPMD
+inserts the cross-process gradient/BN collectives). Process 0 dumps the
+step metrics as JSON for the parent to compare against a single-process
+run of the same global batch.
+
+argv: <process_id> <num_processes> <coordinator_port> <out_json>
+env:  MP_WORKER_DEVICES (virtual CPU devices per process, default 2)
+"""
+import json
+import os
+import sys
+
+n_local = int(os.environ.get("MP_WORKER_DEVICES", "2"))
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={n_local}")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, nproc, port, out_json = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == nproc * n_local
+
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.parallel import make_mesh
+    from ag2video_tpu.train.trainer import Trainer
+    from tests.test_train import tiny_config
+
+    # Per-host batch_size=2 -> global batch 4 over the 4-device data axis.
+    cfg, vocab = tiny_config(batch_size=2)
+    ds = get_dataset("synthetic", "train", cfg)
+    mesh = make_mesh()  # global devices, data axis
+    trainer = Trainer(cfg, vocab, mesh=mesh)
+
+    # Init from a canonical (host-independent) batch so both processes
+    # build bit-identical state before replication.
+    init_batch = next(Loader(ds, cfg, shuffle=False).epoch(0))
+    trainer.init(init_batch)
+
+    # The real input path: each host feeds only its own slice.
+    loader = Loader(ds, cfg, shuffle=False,
+                    host_index=jax.process_index(),
+                    host_count=jax.process_count())
+    metrics = trainer.train_step(next(loader.epoch(0)))
+    vals = {k: float(v) for k, v in metrics.items()}
+    if pid == 0:
+        with open(out_json, "w") as f:
+            json.dump(vals, f)
+    # Leave the distributed runtime cleanly (barrier keeps the coordinator
+    # alive until both workers are done).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("done")
+
+
+if __name__ == "__main__":
+    main()
