@@ -1,0 +1,85 @@
+"""Minimal repro: B=16 generation positional batch-row NaN (RESULTS.md).
+
+At B=16 the compiled 256^2 autoregressive generation program NaNs batch
+rows 0-3 (first generated frame onward) deterministically and
+content-independently: a batch built by concatenating a clean B=8 batch
+with ITSELF gets NaN rows 0-3 while rows 8-11 — the same tensor content —
+come back finite. B<=12 is clean; bench.py's finiteness gate skips B=16.
+
+Run ON THE REAL TPU (expect a ~9-min cold compile of the B=16 program;
+the persistent cache makes reruns fast):
+
+    python tools/repro_b16_generation_nan.py
+
+Prints BUG-PRESENT (bench keeps skipping B=16) or BUG-FIXED (extend the
+bench sweep past B=12).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_inputs
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.models.meta import AG2VideoModel
+    from ag2video_tpu.vocab import get_vocab
+
+    B, T = 16, 8
+    vocab = get_vocab("cater")
+    cfg = Config(dataset="cater", image_size=(256, 256), frames_per_action=T,
+                 batch_size=B, max_objects=11, max_triplets=11,
+                 max_actions=2, compute_dtype="bfloat16").derive(vocab)
+    model = AG2VideoModel(config=cfg, vocab=vocab)
+    # Content-independence probe: a B=8 batch concatenated with itself —
+    # rows i and i+8 are bit-identical inputs.
+    half = _make_inputs(cfg, vocab, B=B // 2, T=T)
+    b = {k: jnp.concatenate([v, v], axis=0) for k, v in half.items()}
+    variables = jax.jit(
+        lambda k: model.init({"params": k}, b["imgs"], b["objs"],
+                             b["triplets"], b["actions"], b["boxes"],
+                             use_gt=True, train=False)
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def generate(v, imgs, objs, triplets, actions, boxes):
+        out = model.apply(v, imgs, objs, triplets, actions, boxes,
+                          test_mode=True, use_gt=False, train=False)
+        return out["imgs_pred"]
+
+    out = generate(variables, b["imgs"], b["objs"], b["triplets"],
+                   b["actions"], b["boxes"])
+    # Per-row NaN fraction, reduced on-device (one small fetch).
+    frac = np.asarray(jax.jit(
+        lambda o: jnp.mean(~jnp.isfinite(o), axis=(1, 2, 3, 4)))(out))
+    print("per-row non-finite fraction:",
+          np.array2string(frac, precision=3))
+    if (frac == 0).all():
+        print("BUG-FIXED: all 16 rows finite at B=16 — extend bench.py's "
+              "sweep past B=12 and remeasure the throughput ceiling")
+        return 0
+    bad = np.nonzero(frac > 0)[0].tolist()
+    mirrored = [r + 8 for r in bad if r < 8]
+    if all(frac[r] == 0 for r in mirrored if r < 16):
+        print(f"BUG-PRESENT: rows {bad} non-finite while the SAME content "
+              f"in rows {mirrored} is clean — positional (not data-"
+              "dependent) corruption; bench.py keeps skipping B=16")
+    else:
+        print(f"UNEXPECTED: non-finite rows {bad} include mirrored-content "
+              "rows — signature changed; re-characterize before trusting "
+              "any B>=16 config")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""Minimal repro: donation-triggered NaN miscompile (RESULTS.md).
+
+The IDENTICAL train-step program returns NaN GAN losses from step 1 when
+jitted with donate_argnums=(0,) and finite losses without, at 64^2 B=8
+bf16 on the axon v5e runtime (donation is a buffer-aliasing memory
+optimization with no semantic content). Workaround: --donate_step 0.
+
+Run ON THE REAL TPU (the bug never reproduced on the CPU backend):
+
+    python tools/repro_donation_nan.py
+
+Prints BUG-PRESENT (keep --donate_step 0 available) or BUG-FIXED.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from ag2video_tpu.utils.compilation_cache import enable_persistent_cache  # noqa: E402
+
+
+def losses_with(donate: bool):
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.train.trainer import Trainer
+    from ag2video_tpu.vocab import get_vocab
+
+    vocab = get_vocab("synthetic")
+    # The measured failing config: 64^2, B=8, bf16, teacher-forced.
+    cfg = Config(dataset="synthetic", image_size=(64, 64), batch_size=8,
+                 frames_per_action=2, frames_per_action_graph=1,
+                 dataset_size=8, number_of_objects=3, max_objects=5,
+                 max_triplets=6, max_actions=2, compute_dtype="bfloat16",
+                 no_vgg_loss=True, output_dir="",
+                 donate_step=donate).derive(vocab)
+    loader = Loader(get_dataset("synthetic", "train", cfg), cfg,
+                    shuffle=False)
+    tr = Trainer(cfg, vocab)
+    b0 = next(loader.epoch(0))
+    tr.init(b0)
+    m = tr.train_step(b0)
+    return {k: float(v) for k, v in m.items() if k.startswith(("G/", "D/"))}
+
+
+def main():
+    enable_persistent_cache()
+    undonated = losses_with(False)
+    if not all(np.isfinite(v) for v in undonated.values()):
+        print("FAIL: undonated step is ALREADY non-finite — this is not "
+              "the donation miscompile signature; investigate separately")
+        return 1
+    donated = losses_with(True)
+    if all(np.isfinite(v) for v in donated.values()):
+        print("BUG-FIXED: donated and undonated 64^2 B=8 bf16 steps are "
+              "both finite — the --donate_step 0 workaround is no longer "
+              "needed for this config")
+    else:
+        bad = [k for k, v in donated.items() if not np.isfinite(v)]
+        print("BUG-PRESENT: identical step NaNs only when donated "
+              f"({len(bad)} non-finite losses, e.g. {bad[:4]}) — keep "
+              "--donate_step 0 as the workaround")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,71 @@
+"""Minimal repro: GSPMD partial-shard conv miscompile (RESULTS.md).
+
+Convs whose *global* height is smaller than ~2 rows/device on the model
+axis come back scaled by exactly the axis size inside the full-generator
+program (the next BatchNorm masks it while its running stats go wrong).
+The framework works around it by construction: `parallel.mesh.constrain_rows`
+replicates any too-small level. This script DISABLES that workaround and
+compares a (2,1) data-parallel train step against the measured-miscompile
+(2,4) spatial geometry at 32^2 — on a virtual 8-device CPU mesh, so it
+runs anywhere.
+
+    python tools/repro_partial_shard_conv.py
+
+Prints BUG-PRESENT (keep constrain_rows) or BUG-FIXED (the pins can be
+relaxed when the platform stack updates). Exit 1 only on unexpected state.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from ag2video_tpu.parallel import mesh as mesh_lib  # noqa: E402
+
+# Disable the workaround: no resolution-level pins.
+mesh_lib.constrain_rows = lambda x, min_rows=2: x
+
+from ag2video_tpu.data.registry import Loader, get_dataset  # noqa: E402
+from ag2video_tpu.parallel import make_mesh  # noqa: E402
+from ag2video_tpu.train.trainer import Trainer  # noqa: E402
+from tests.test_spatial_shard import tiny_cfg  # noqa: E402
+
+
+def step_metrics(data, model):
+    cfg, vocab = tiny_cfg(model, size=32)
+    mesh = make_mesh(data=data, model=model,
+                     devices=jax.devices()[:data * model])
+    loader = Loader(get_dataset("synthetic", "train", cfg), cfg,
+                    shuffle=False)
+    tr = Trainer(cfg, vocab, mesh=mesh)
+    b0 = next(loader.epoch(0))
+    tr.init(b0)
+    return {k: float(v) for k, v in tr.train_step(b0).items()}
+
+
+def main():
+    a = step_metrics(2, 1)   # pure data parallel (ground truth)
+    b = step_metrics(2, 4)   # 32^2 / model=4: SPADE latent 1x1 (degenerate)
+    bad = {k: (a[k], b[k]) for k in a
+           if not np.isclose(a[k], b[k], rtol=2e-3, atol=1e-4)}
+    if bad:
+        print("BUG-PRESENT: partial-shard conv miscompile still there "
+              f"(unpinned 32^2/model=4 diverges on {len(bad)}/{len(a)} "
+              "metrics) — keep parallel.mesh.constrain_rows")
+        for k, (x, y) in sorted(bad.items())[:6]:
+            print(f"  {k}: dp={x:.6g} sp={y:.6g}")
+        return 0
+    print("BUG-FIXED: unpinned degenerate geometry now agrees with data "
+          "parallel — constrain_rows' replication pins can be relaxed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
