@@ -20,13 +20,14 @@ import time
 
 
 BASELINE_FPS = 24.0  # BASELINE.md: >24 generated frames/sec/chip
-# B=2: the reference's cmdline batch; B=8: best measured batch (RESULTS.md
-# r3 sweep); B=16: probes whether throughput is still batch-limited past
-# B=8. Each size is a separate ~9-min cold XLA:TPU compile (cached across
-# runs by utils/compilation_cache.py), so the sweep stays at the three
-# informative sizes; any entry may fail (e.g. RESOURCE_EXHAUSTED at a
-# larger B) — measure() failures are skipped, not fatal.
-BATCH_SIZES = (2, 8, 16)
+# B=2: the reference's cmdline batch; B=8: r3's best valid batch; B=10/12:
+# map the knee of the still-rising curve (VERDICT r3 item 2); B=16: known
+# platform miscompile (positional batch-row NaN, RESULTS.md) — probed so a
+# platform fix is noticed, skipped by the finiteness gate until then. Each
+# size is a separate ~9-min cold XLA:TPU compile (cached across runs by
+# utils/compilation_cache.py); any entry may fail (e.g. RESOURCE_EXHAUSTED
+# at a larger B) — measure() failures are skipped, not fatal.
+BATCH_SIZES = (2, 8, 10, 12, 16)
 T = 8                 # 8-frame clips; 7 generated frames per sample
 
 
@@ -67,12 +68,19 @@ def measure(B: int, size=(256, 256)) -> float:
             b["boxes"])
 
     # Warmup/compile + output validation (guards against silent async
-    # failures masquerading as instant results).
+    # failures masquerading as instant results). Finiteness is checked over
+    # the WHOLE batch on-device (one scalar fetch): the B=16 miscompile
+    # NaNs only rows 0-3, and a future positional variant could corrupt
+    # rows a single-pixel probe misses.
+    import jax.numpy as jnp
+
     H, W = size
     out = jax.block_until_ready(generate(*args))
-    sample = float(out[0, -1, H // 2, W // 2, 0])
     assert out.shape == (B, T, H, W, 3), out.shape
-    assert abs(sample) < 1e6 and sample == sample, sample
+    all_finite = bool(jax.jit(lambda o: jnp.isfinite(o).all())(out))
+    assert all_finite, f"non-finite generated frames at B={B}"
+    sample = float(out[0, -1, H // 2, W // 2, 0])
+    assert abs(sample) < 1e6, sample
 
     # >=20 iterations between syncs, and sync by SCALAR FETCH, not
     # block_until_ready: over the tunneled platform block_until_ready can
