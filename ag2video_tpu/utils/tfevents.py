@@ -127,18 +127,23 @@ class TFEventsWriter:
 
     def __init__(self, output_dir: str):
         os.makedirs(output_dir, exist_ok=True)
-        name = "events.out.tfevents.%d.%s" % (
-            int(time.time()), socket.gethostname() or "host")
+        # pid suffix (as tensorboardX does): two writers created in the
+        # same second on one host must not append to the same file — a
+        # mid-stream file_version event is nonstandard.
+        name = "events.out.tfevents.%d.%s.%d" % (
+            int(time.time()), socket.gethostname() or "host", os.getpid())
         self.path = os.path.join(output_dir, name)
         self._f = open(self.path, "ab")
         self._f.write(frame_record(encode_file_version_event()))
         self._f.flush()
 
-    def write_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+    def write_scalars(self, step: int, scalars: Dict[str, float],
+                      wall_time: Optional[float] = None) -> None:
         clean = {k: float(v) for k, v in scalars.items()}
         if not clean:
             return
-        self._f.write(frame_record(encode_scalar_event(step, clean)))
+        self._f.write(frame_record(
+            encode_scalar_event(step, clean, wall_time=wall_time)))
         self._f.flush()
 
     def close(self) -> None:

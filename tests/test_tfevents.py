@@ -152,6 +152,35 @@ def test_jsonl_converter_round_trip(tmp_path):
     assert "tag" not in events[2]["scalars"]  # non-numeric column skipped
 
 
+def test_jsonl_converter_skip_force_and_edge_values(tmp_path):
+    """ADVICE r3: the converter must not duplicate scalars into a run dir
+    that already has an event file (unless --force); a wall time of 0.0 is
+    a legitimate value, not 'absent'; booleans are not exported as 0/1."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    (tmp_path / "metrics.jsonl").write_text(
+        json.dumps({"step": 0, "time": 0.0, "loss": 4.0,
+                    "nan_skipped": True}) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, "tools", "jsonl_to_tfevents.py"),
+           str(tmp_path)]
+    subprocess.run(cmd, check=True, cwd=repo)
+    (evf,) = tmp_path.glob("events.out.tfevents.*")
+    events = [_decode_event(r) for r in _read_records(evf)]
+    assert events[1]["wall_time"] == 0.0          # zero preserved, not now()
+    assert events[1]["scalars"] == {"loss": 4.0}  # bool column excluded
+
+    # Second run without --force: no new file (would duplicate scalars).
+    subprocess.run(cmd, check=True, cwd=repo)
+    assert len(list(tmp_path.glob("events.out.tfevents.*"))) == 1
+    # --force converts anyway (distinct filename via the pid suffix).
+    subprocess.run(cmd + ["--force"], check=True, cwd=repo)
+    assert len(list(tmp_path.glob("events.out.tfevents.*"))) == 2
+
+
 def test_tfevents_opt_out(tmp_path):
     w = MetricsWriter(str(tmp_path), tfevents=False)
     w.write(0, {"a": 1.0})

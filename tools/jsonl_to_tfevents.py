@@ -18,14 +18,24 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from ag2video_tpu.utils.tfevents import (  # noqa: E402
-    TFEventsWriter, encode_scalar_event, frame_record)
+import glob  # noqa: E402
+
+from ag2video_tpu.utils.tfevents import TFEventsWriter  # noqa: E402
 
 
-def convert(run_dir: str) -> str:
+def convert(run_dir: str, force: bool = False) -> str:
     src = os.path.join(run_dir, "metrics.jsonl")
     if not os.path.exists(src):
         raise FileNotFoundError(src)
+    existing = glob.glob(os.path.join(run_dir, "events.out.tfevents.*"))
+    if existing and not force:
+        # TensorBoard silently merges multiple event files in one run dir —
+        # re-converting next to the tee's (or a prior conversion's) stream
+        # would duplicate every scalar.
+        print(f"{run_dir}: skipped — event file(s) already present "
+              f"({os.path.basename(existing[0])}); pass --force to convert "
+              "anyway")
+        return existing[0]
     writer = TFEventsWriter(run_dir)
     n = 0
     with open(src) as f:
@@ -35,12 +45,17 @@ def convert(run_dir: str) -> str:
                 continue
             rec = json.loads(line)
             step = int(rec.pop("step", n))
-            wall = float(rec.pop("time", 0.0)) or None
+            # Missing/zero wall time must stay distinct: only a truly
+            # absent "time" falls back to the conversion-time clock.
+            wall = rec.pop("time", None)
+            wall = float(wall) if wall is not None else None
+            # bool is an int subclass — boolean columns (flags) are
+            # deliberately excluded rather than silently exported as 0/1.
             scalars = {k: float(v) for k, v in rec.items()
-                       if isinstance(v, (int, float))}
+                       if isinstance(v, (int, float))
+                       and not isinstance(v, bool)}
             if scalars:
-                writer._f.write(frame_record(
-                    encode_scalar_event(step, scalars, wall_time=wall)))
+                writer.write_scalars(step, scalars, wall_time=wall)
                 n += 1
     writer.close()
     print(f"{run_dir}: {n} rows -> {writer.path}")
@@ -48,7 +63,10 @@ def convert(run_dir: str) -> str:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    argv = sys.argv[1:]
+    force = "--force" in argv
+    dirs = [a for a in argv if a != "--force"]
+    if not dirs:
         sys.exit(__doc__)
-    for d in sys.argv[1:]:
-        convert(d)
+    for d in dirs:
+        convert(d, force=force)
