@@ -182,6 +182,13 @@ class Config:
 
     # Mixed precision: params fp32; conv/matmul compute in `compute_dtype`.
     compute_dtype: str = "bfloat16"
+    # "bfloat16": device-resident params (G and D) in bf16, with an fp32
+    # MASTER copy + Adam moments inside the optimizer state
+    # (train/state.py with_fp32_master) — halves the parameter bytes the
+    # forward/backward reads from HBM at unchanged update precision; the
+    # optimizer pass itself touches ~1.5x the bytes (master r/w + bf16
+    # write). Experimental (VERDICT r3 item 8): measure before adopting.
+    param_dtype: str = "float32"
     # Rematerialize the generator's frame step (saves only matmul outputs).
     # Measured on v5e @ 256^2: remat costs ~28% step time at batch 2 but
     # unlocks batch 4 (peak activation memory drops below the 16 GB HBM);

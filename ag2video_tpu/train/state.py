@@ -72,13 +72,45 @@ def _masked_only(inner, mask_fn):
     )
 
 
+def with_fp32_master(inner) -> optax.GradientTransformation:
+    """Run `inner` (e.g. Adam) on an fp32 MASTER copy of bf16-resident
+    params (Config.param_dtype='bfloat16' experiment).
+
+    The forward/backward then reads half the parameter bytes from HBM;
+    the update still accumulates in fp32, so no precision is lost across
+    steps (params are always exactly bf16(master)). Returned updates are
+    fp32 `master_new - params`: optax.apply_updates computes
+    `params + update` in fp32 == master_new, then casts back to the param
+    dtype — i.e. new params are bf16(master_new) with no double-rounding.
+    Composes with optax.masked (MaskedNode leaves carry no arrays, so the
+    tree_maps skip them)."""
+
+    def init_fn(params):
+        master = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+        return {"master": master, "inner": inner.init(master)}
+
+    def update_fn(updates, state, params):
+        g32 = jax.tree.map(lambda g: g.astype(jnp.float32), updates)
+        u32, inner_state = inner.update(g32, state["inner"], state["master"])
+        master = optax.apply_updates(state["master"], u32)
+        # fp32 delta from the CURRENT (bf16) params: apply_updates then
+        # computes params + delta == master_new in fp32 before casting back.
+        out = jax.tree.map(lambda m, p: m - p.astype(jnp.float32),
+                           master, params)
+        return out, {"master": master, "inner": inner_state}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizers(cfg: Config, params):
     ttur = not cfg.no_TTUR
     adam = lambda scale=1.0: optax.adam(
         _lr_schedule(cfg, scale), b1=cfg.beta1, b2=0.999)
-    opt_graph = _masked_only(adam(), _graph_mask)
-    opt_gen = _masked_only(adam(0.5 if ttur else 1.0), _gen_mask)
-    opt_d = adam(2.0 if ttur else 1.0)
+    wrap = (with_fp32_master if cfg.param_dtype == "bfloat16"
+            else (lambda t: t))
+    opt_graph = _masked_only(wrap(adam()), _graph_mask)
+    opt_gen = _masked_only(wrap(adam(0.5 if ttur else 1.0)), _gen_mask)
+    opt_d = wrap(adam(2.0 if ttur else 1.0))
     return opt_graph, opt_gen, opt_d
 
 
@@ -156,6 +188,16 @@ def create_train_state(
     dvars = jax.jit(_init_d)(k_d, mvars, sample_batch)
     d_params = dvars["params"]
     d_state = {k: v for k, v in dvars.items() if k != "params"}
+
+    if cfg.param_dtype == "bfloat16":
+        # bf16-resident params; the fp32 master lives in the optimizer
+        # state (with_fp32_master). model_state (batch_stats / spectral
+        # vectors) and the frozen VGG stay fp32 — norm stats keep the
+        # repo-wide fp32 convention.
+        cast = lambda t: jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+        params, d_params = cast(params), cast(d_params)
 
     vgg_vars = load_vgg19_params()
     if vgg_vars is None and not cfg.no_vgg_loss:
