@@ -50,7 +50,7 @@ def composition_variants(batch, vocab):
     # this sample) on an un-acted real object, into a padding slot.
     d = a0.copy()
     objs = np.asarray(batch.objs)
-    n_composed = 0
+    counts = {"composed": 0, "simultaneous": 0}
     for i in range(d.shape[0]):
         slots = np.where(~real[i])[0]
         n_real_obj = int((objs[i, :, 0] != 0).sum())
@@ -59,9 +59,25 @@ def composition_variants(batch, vocab):
         if len(slots) and free_objs:
             d[i, slots[0]] = [free_objs[0], slide, free_objs[0],
                               0.0, 1.0, 0.15, 0.15]
-            n_composed += 1
+            counts["composed"] += 1
     out["composed"] = d
-    return out, n_composed
+
+    # Simultaneous composition (VERDICT r3 item 3): a SECOND _slide on an
+    # already-acted object with a fully overlapping window but a different
+    # target — the rule oracle resolves concurrent movers by progress-
+    # weighted target mixing (models/rule_baseline.py:52-59), so the model
+    # is scored on executing two concurrent programs on one object, a
+    # graph shape that never occurs in the training distribution.
+    e = a0.copy()
+    for i in range(e.shape[0]):
+        slots = np.where(~real[i])[0]
+        rows = np.where(real[i])[0]
+        if len(slots) and len(rows):
+            subj = float(a0[i, rows[0], 0])
+            e[i, slots[0]] = [subj, slide, subj, 0.0, 1.0, 0.85, 0.2]
+            counts["simultaneous"] += 1
+    out["simultaneous"] = e
+    return out, counts
 
 
 def run_composition_sweep(sess, loader, num_samples):
@@ -74,14 +90,15 @@ def run_composition_sweep(sess, loader, num_samples):
 
     totals = {}
     n = 0
-    composed_n = 0
+    composed_n = {"composed": 0, "simultaneous": 0}
     loaded = False
     for batch in loader.epoch(0):
         if not loaded:
             sess.load(batch)
             loaded = True
         variants, nc = composition_variants(batch, sess.vocab)
-        composed_n += nc
+        for k, v in nc.items():
+            composed_n[k] += v
         mask = (batch.objs[..., 0] != 0)[:, None, :]
         mask = np.broadcast_to(mask, batch.boxes[:, 1:].shape[:-1])
         for name, acts in variants.items():

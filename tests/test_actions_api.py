@@ -97,9 +97,9 @@ def test_composition_variants_builder():
     Batch = namedtuple("B", ["actions", "objs", "boxes"])
     batch = Batch(actions, objs, boxes)
 
-    out, n_composed = composition_variants(batch, v)
+    out, counts = composition_variants(batch, v)
     assert set(out) == {"original", "timing_before", "timing_after",
-                        "composed"}
+                        "composed", "simultaneous"}
     np.testing.assert_array_equal(out["original"], actions)
     tb = out["timing_before"]
     assert tb[0, 0, 3] == 0.0 and tb[0, 0, 4] == 3.0
@@ -107,9 +107,16 @@ def test_composition_variants_builder():
     ta = out["timing_after"]
     assert ta[1, 0, 3] == -2.0 and ta[1, 1, 4] == 1.0
     comp = out["composed"]
-    assert n_composed == 2
+    assert counts == {"composed": 2, "simultaneous": 2}
     # New rows sit in previously-padding slots, on un-acted real objects.
     new0 = comp[0, 1]
     assert new0[1] == slide and int(new0[0]) not in {1} and new0[0] < 4
     new1 = comp[1, 2]
     assert new1[1] == slide and int(new1[0]) not in {0, 2} and new1[0] < 4
+    # Simultaneous rows reuse an ALREADY-acted subject with a fully
+    # overlapping default window and a different target.
+    sim0 = out["simultaneous"][0, 1]
+    assert sim0[1] == slide and int(sim0[0]) == 1
+    assert sim0[3] == 0.0 and sim0[4] == 1.0 and sim0[5] == 0.85
+    sim1 = out["simultaneous"][1, 2]
+    assert sim1[1] == slide and int(sim1[0]) == 0
