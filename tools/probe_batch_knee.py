@@ -1,0 +1,36 @@
+"""Probe generation throughput at B=10 and B=12 (VERDICT r3 item 2).
+
+The r3 sweep (2, 8, 16) left the fps-per-chip curve still rising at B=8
+with B=16 platform-miscompiled; this maps the knee between them using
+bench.measure (same model, timing discipline, and whole-batch finiteness
+gate as the headline bench) and also seeds /tmp/ag2video_xla_cache so the
+driver's end-of-round bench pays no cold compiles at these sizes.
+
+    python tools/probe_batch_knee.py [B ...]   # default: 10 12
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from ag2video_tpu.utils.compilation_cache import enable_persistent_cache  # noqa: E402
+
+
+def main():
+    enable_persistent_cache()
+    sizes = [int(a) for a in sys.argv[1:]] or [10, 12]
+    results = {}
+    for B in sizes:
+        try:
+            fps = bench.measure(B)
+            results[B] = fps
+            print(f"B={B}: {fps:.2f} frames/s/chip", flush=True)
+        except Exception as e:  # mirror bench.py: a bad size is data, not fatal
+            results[B] = None
+            print(f"B={B}: FAILED ({type(e).__name__}: {e})", flush=True)
+    print("RESULT", results)
+
+
+if __name__ == "__main__":
+    main()

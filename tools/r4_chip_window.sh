@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 post-training chip window: runs the queued on-chip measurements
+# the moment the 20k stability run (tools/run_stab256.sh) releases the
+# chip. Deadline-aware: each step checks HARD_DEADLINE (unix time) before
+# starting so the driver's end-of-round bench never contends.
+#
+#   nohup bash tools/r4_chip_window.sh <HARD_DEADLINE> &
+#
+# Steps, in VERDICT-priority order:
+#   1. eval_iou composition sweep on itr_20000 (items 1+3: post-restore
+#      IoU for the in-loop-vs-restore diagnosis + zero-shot table incl.
+#      the new simultaneous variant)
+#   2. bf16-params A/B: 1k iters @ 64^2 B=8, param_dtype fp32 vs bf16
+#      (item 8)
+#   3. B=10/12 throughput probe via bench.measure (item 2)
+#   4. donation-NaN repro PASS/FAIL on current platform (item 7)
+set -u
+cd /root/repo
+HARD_DEADLINE="${1:?usage: r4_chip_window.sh <unix_deadline>}"
+LOG=output/r4_chip_window.log
+echo "=== chip window queue started $(date -u +%FT%TZ), deadline $HARD_DEADLINE ===" >> "$LOG"
+
+# Wait for the stability wrapper to finish (it owns the chip).
+while ps -p "$(cat /tmp/stab256.pid 2>/dev/null || echo 0)" >/dev/null 2>&1; do
+  sleep 60
+done
+echo "=== chip free at $(date -u +%FT%TZ) ===" >> "$LOG"
+
+run_step() {
+  local name="$1" budget="$2"; shift 2
+  local now; now=$(date +%s)
+  if [ $((now + 120)) -ge "$HARD_DEADLINE" ]; then
+    echo "=== SKIP $name (past deadline) ===" >> "$LOG"; return
+  fi
+  local remain=$((HARD_DEADLINE - now))
+  [ "$budget" -gt "$remain" ] && budget=$remain
+  echo "=== $name start $(date -u +%FT%TZ) budget=${budget}s ===" >> "$LOG"
+  timeout "$budget" "$@" >> "$LOG" 2>&1
+  echo "=== $name exited rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
+}
+
+run_step eval_iou_sweep 2100 python -m scripts.eval_iou \
+  --checkpoint output/stab256/itr_20000 --sweep composition \
+  --num_samples 64 --batch_size 4
+
+run_step bf16_fp32_arm 1500 python -m scripts.train --dataset synthetic \
+  --image_size 64,64 --batch_size 8 --num_iterations 1000 \
+  --donate_step 0 --checkpoint_every 0 --print_every 100 \
+  --param_dtype float32 --output_dir output/r4_bf16_fp32
+
+run_step bf16_bf16_arm 1500 python -m scripts.train --dataset synthetic \
+  --image_size 64,64 --batch_size 8 --num_iterations 1000 \
+  --donate_step 0 --checkpoint_every 0 --print_every 100 \
+  --param_dtype bfloat16 --output_dir output/r4_bf16_bf16
+
+run_step batch_knee 2400 python tools/probe_batch_knee.py
+
+run_step repro_donation 1500 python tools/repro_donation_nan.py
+
+echo "=== chip window queue done $(date -u +%FT%TZ) ===" >> "$LOG"
