@@ -39,6 +39,13 @@ run_step() {
   echo "=== $name exited rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 }
 
+# IoU-decline diagnosis (VERDICT item 1): in-loop val@17500 vs a
+# POST-RESTORE eval of the same itr_17500 checkpoint — if they agree,
+# r3's 0.806->0.693 "decline" was the (since-fixed) host-resident-restore
+# artifact, not training dynamics.
+run_step eval_iou_17500 1800 python -m scripts.eval_iou \
+  --checkpoint output/stab256/itr_17500 --num_samples 64 --batch_size 4
+
 run_step eval_iou_sweep 2100 python -m scripts.eval_iou \
   --checkpoint output/stab256/itr_20000 --sweep composition \
   --num_samples 64 --batch_size 4
