@@ -153,6 +153,13 @@ class Config:
     # 247; it has no off switch — this flag exists because with no
     # pretrained asset the score is random-init and only costs time).
     val_inception: bool = True
+    # Synthetic-calibrated fidelity metric over the use_gt val pass
+    # (eval/backbone.py): feature-FID(generated, real) + presence accuracy
+    # with a small classifier trained on this dataset's free labels — the
+    # in-env replacement for the pretrained-Inception contract. Active when
+    # the trained asset exists (scripts/train_backbone.py writes it).
+    val_fidelity: bool = True
+    fidelity_backbone: str = ""  # path override; default assets/synthetic_backbone.npz
     print_every: int = 10
     checkpoint_every: int = 10_000
     # Every Nth periodic in-loop save is a FULL checkpoint (params + all
@@ -165,6 +172,16 @@ class Config:
     # 1 = every periodic save full (the old behavior); reference saves the
     # full dict every time (scripts/train.py:528-543).
     full_checkpoint_every_n: int = 4
+    # Host-RSS watchdog, checked at log boundaries in fit(): above the
+    # threshold the trainer writes a FULL checkpoint and exits rc=75
+    # (EX_TEMPFAIL) so a wrapper/auto-resume restarts it cleanly. This is
+    # the in-framework mitigation for the tunneled-TPU client's pinned-
+    # buffer leak (~one batch of host bytes per host->device transfer,
+    # RESULTS.md "host-memory leak"): the r3 20k run was OOM-KILLED by the
+    # host kernel at 130 GB RSS, losing ~1.8k iterations. -1 = auto (85% of
+    # /proc/meminfo MemTotal), 0 = off, >0 = explicit GB. TPU-era analog of
+    # the reference's in-loop failure handling (scripts/train.py:428-437).
+    rss_watchdog_gb: float = -1.0
     output_dir: str = "output/run"
     run_name: str = "debug"
     restore_checkpoint: bool = False

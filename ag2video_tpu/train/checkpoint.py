@@ -67,6 +67,24 @@ def wait_for_saves() -> None:
         _async_ckptr.wait_until_finished()
 
 
+def _contains_master(opt_state) -> bool:
+    """True if an optimizer-state pytree carries a with_fp32_master 'master'
+    subtree (train/state.py): restoring weights while keeping such a state
+    would desync params from the stale fp32 master — the first update then
+    overwrites the restored weights with bf16(stale master)."""
+    found = []
+
+    def walk(d):
+        if isinstance(d, dict):
+            if "master" in d:
+                found.append(True)
+            for v in d.values():
+                walk(v)
+
+    walk(flax.serialization.to_state_dict(opt_state))
+    return bool(found)
+
+
 def save_checkpoint(output_dir: str, t: int, epoch: int, state,
                     cfg: Config, vocab: Dict[str, Any],
                     block: bool = True, light: bool = False) -> str:
@@ -82,6 +100,12 @@ def save_checkpoint(output_dir: str, t: int, epoch: int, state,
     """
     import time
 
+    # Multi-host: exactly one process writes (the state is replicated, so
+    # process 0's jax.device_get sees the full tree; concurrent orbax saves
+    # into the same itr_<t> path race). Non-zero processes return the path
+    # they would have written.
+    if jax.process_index() != 0:
+        return checkpoint_path(output_dir, t)
     os.makedirs(output_dir, exist_ok=True)
     cfg.save_run_args(output_dir, vocab)
     path = checkpoint_path(output_dir, t)
@@ -131,7 +155,7 @@ def latest_checkpoint(output_dir: str,
 
 
 def restore_checkpoint(path: str, target_state, for_inference: bool = False,
-                       to_device: bool = True):
+                       to_device: bool = True, optimizers=None):
     """Restore into the structure of `target_state` (must be pre-built with
     matching shapes, like the reference's load_state_dict contract).
 
@@ -148,6 +172,15 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False,
     each post-resume 256^2 validation pass into ~an hour (32 eval_batch
     calls) until the first train_step output replaced the state. Callers
     that re-place the state themselves (e.g. mesh replication) pass False.
+
+    optimizers=(opt_graph, opt_gen, opt_d): on a LIGHT restore (no
+    optimizer states on disk) with for_inference=False, the three optimizer
+    states are RE-INITIALIZED from the restored weights. This matters for
+    param_dtype='bfloat16' runs: the target's fresh-init states hold
+    with_fp32_master 'master' copies of the RANDOM-INIT params, and keeping
+    them would make the first update overwrite the restored weights with
+    bf16(stale master). Without optimizers, a light resume into a
+    master-carrying target raises instead of silently destroying weights.
     """
     wait_for_saves()  # an async save of this very path may be in flight
     if os.path.isdir(path) and not re.match(r".*itr_\d+$", path):
@@ -174,16 +207,44 @@ def restore_checkpoint(path: str, target_state, for_inference: bool = False,
                 updates[k] = flax.serialization.from_state_dict(
                     getattr(target, k), raw[k])
         restored = target.replace(**updates)
-        if light and not for_inference:
-            log.warning(
-                "resuming from LIGHT checkpoint %s: model weights + "
-                "counters restored, optimizer moments RESET (light saves "
-                "skip optimizer state; see Config.full_checkpoint_every_n)",
-                path)
     else:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, target)
     if to_device:
         restored = jax.device_put(restored)
+    if light and not for_inference:
+        if optimizers is not None:
+            og, oe, od = optimizers
+            # One jitted call (eager per-leaf zeros_like dispatches hundreds
+            # of tunnel round-trips); for param_dtype='bfloat16' the init
+            # also rebuilds master = fp32(restored params), exactly the
+            # invariant a light resume must restore.
+            ogs, oes, ods = jax.jit(lambda p, dp: (
+                og.init(p), oe.init(p), od.init(dp)))(
+                    restored.params, restored.d_params)
+            restored = restored.replace(
+                opt_graph_state=ogs, opt_gen_state=oes, opt_d_state=ods)
+            log.warning(
+                "resuming from LIGHT checkpoint %s: model weights + "
+                "counters restored; optimizer states re-initialized from "
+                "the restored weights (Adam moments reset — see "
+                "Config.full_checkpoint_every_n)", path)
+        else:
+            if any(_contains_master(s) for s in
+                   (restored.opt_graph_state, restored.opt_gen_state,
+                    restored.opt_d_state)):
+                raise ValueError(
+                    f"light resume from {path} into a target whose optimizer "
+                    "states carry an fp32 'master' (param_dtype='bfloat16'): "
+                    "the stale master would overwrite the restored weights "
+                    "on the first update. Pass optimizers=(opt_graph, "
+                    "opt_gen, opt_d) so they are re-initialized from the "
+                    "restored weights, or resume from a FULL checkpoint "
+                    "(latest_checkpoint(full_only=True)).")
+            log.warning(
+                "resuming from LIGHT checkpoint %s: model weights + "
+                "counters restored; optimizer states inherited from the "
+                "restore target (fresh init on resume — moments reset; see "
+                "Config.full_checkpoint_every_n)", path)
     log.info("restored checkpoint %s", path)
     return restored

@@ -43,6 +43,34 @@ def _tree_select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+# Exit code of the RSS watchdog (EX_TEMPFAIL): "restart me" — distinct from
+# crash codes so wrappers can loop on it unconditionally.
+RSS_WATCHDOG_RC = 75
+
+
+def host_rss_gb() -> float:
+    """This process's resident set in GB (from /proc/self/status)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6  # kB
+    except OSError:
+        pass
+    return 0.0
+
+
+def host_mem_total_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 class Trainer:
     def __init__(self, cfg: Config, vocab: Dict[str, Any], mesh=None):
         self.cfg = cfg
@@ -110,6 +138,9 @@ class Trainer:
     def _build_steps(self):
         cfg = self.cfg
         opt_graph, opt_gen, opt_d = make_optimizers(cfg, self.state.params)
+        # Kept for the light-resume path: restore_checkpoint re-initializes
+        # the optimizer states from the restored weights (checkpoint.py).
+        self._optimizers = (opt_graph, opt_gen, opt_d)
         model, disc = self.model, self.disc
 
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -298,23 +329,44 @@ class Trainer:
     # ------------------------------------------------------------------
     def check_model(self, loader, use_gt: bool,
                     max_samples: Optional[int] = None,
-                    inception_score=None):
+                    inception_score=None, fidelity_score=None):
         """Validation pass (reference check_model, train.py:136-252).
         Returns (mean_losses, samples dict for visualization). Pass an
         `eval.inception.InceptionScore` to also report IS over the
-        generated frames (reference train.py:175, 247)."""
+        generated frames (reference train.py:175, 247), and/or an
+        `eval.backbone.FidelityScore` (the synthetic-calibrated stand-in
+        for that contract: feature-FID generated-vs-real + presence
+        accuracy; it has signal without pretrained assets)."""
         max_samples = max_samples or self.cfg.num_val_samples
         tot = np.zeros(4)
         samples = {}
         n_seen = 0
         if inception_score is not None:
             inception_score.clean()
+        if fidelity_score is not None:
+            from ag2video_tpu.eval.backbone import presence_labels
+            fidelity_score.clean()
+        ncond = self.cfg.n_frames_G - 1  # conditioning frames pass through
         for batch in loader.epoch(0):
             imgs_pred, boxes_pred, stats = self.eval_batch(batch, use_gt)
             tot += np.array([float(s) for s in stats])
             if inception_score is not None:
                 flat = jnp.reshape(imgs_pred, (-1,) + imgs_pred.shape[2:])
                 inception_score(flat)
+            if fidelity_score is not None:
+                # Score only GENERATED frames (drop the GT passthrough
+                # seeds) against the same clips' real frames.
+                fake = imgs_pred[:, ncond:]
+                T = fake.shape[1]
+                objs = np.asarray(batch.objs)  # (B, O, [shape, color, size])
+                pres = presence_labels(
+                    {"shape": objs[..., 0], "color": objs[..., 1]})
+                fidelity_score.add_fake(
+                    jnp.reshape(fake, (-1,) + fake.shape[2:]),
+                    presence=np.repeat(pres, T, axis=0))
+                real = jnp.asarray(np.asarray(batch.imgs)[:, ncond:])
+                fidelity_score.add_real(
+                    jnp.reshape(real, (-1,) + real.shape[2:]))
             if not samples:
                 samples = {
                     "video_id": batch.video_ids,
@@ -343,6 +395,8 @@ class Trainer:
                 else "inception_randomnet"
             mean_losses[f"{tag}_mean"] = m
             mean_losses[f"{tag}_std"] = s
+        if fidelity_score is not None:
+            mean_losses.update(fidelity_score.compute())
         return mean_losses, samples
 
     # ------------------------------------------------------------------
@@ -356,13 +410,16 @@ class Trainer:
         # to_device / replicate: keep the restored state device-resident —
         # a host-numpy state re-uploads ~1.6 GB through the tunnel on every
         # jitted call (see ckpt_lib.restore_checkpoint docstring).
+        opts = getattr(self, "_optimizers", None)
         if self.mesh is not None:
             from ag2video_tpu.parallel import replicate
             restored = ckpt_lib.restore_checkpoint(path, self.state,
-                                                   to_device=False)
+                                                   to_device=False,
+                                                   optimizers=opts)
             self.state = replicate(restored, self.mesh)
         else:
-            self.state = ckpt_lib.restore_checkpoint(path, self.state)
+            self.state = ckpt_lib.restore_checkpoint(path, self.state,
+                                                     optimizers=opts)
         return self.state
 
     # ------------------------------------------------------------------
@@ -377,6 +434,7 @@ class Trainer:
         metrics_writer=None,
         timing: bool = False,
         inception_score=None,
+        rss_getter=host_rss_gb,
     ):
         """The reference main loop (train.py:398-513), host side.
 
@@ -403,10 +461,40 @@ class Trainer:
                     "forward per val frame; port weights via "
                     "scripts/port_torch_weights.py to enable it")
                 inception_score = None
+        # Synthetic-calibrated fidelity metric (eval/backbone.py): the
+        # in-env stand-in for the reference's train-time Inception pass —
+        # feature-FID + presence accuracy of generated frames, with a
+        # backbone trained on this dataset's own labels
+        # (scripts/train_backbone.py creates the asset).
+        fidelity_score = None
+        if (val_loader is not None and cfg.val_fidelity
+                and not cfg.graph_only and cfg.dataset == "synthetic"):
+            from ag2video_tpu.eval.backbone import (
+                DEFAULT_WEIGHTS, FidelityScore, load_backbone)
+            loaded = load_backbone(cfg.fidelity_backbone or DEFAULT_WEIGHTS)
+            if loaded is None:
+                log.warning(
+                    "no synthetic fidelity backbone asset (%s): the use_gt "
+                    "val pass reports no pixel-quality metric — train one "
+                    "with `python -m scripts.train_backbone`",
+                    cfg.fidelity_backbone or DEFAULT_WEIGHTS)
+            else:
+                fidelity_score = FidelityScore(loaded[0])
         num_iterations = num_iterations or cfg.num_iterations
         log_every = log_every or cfg.print_every
         checkpoint_every = checkpoint_every or cfg.checkpoint_every
         timer = StepTimer() if timing else None
+        # RSS watchdog (Config.rss_watchdog_gb): the tunneled-TPU client
+        # leaks ~one batch of pinned host bytes per transfer; without this
+        # a long run is OOM-KILLED by the host kernel mid-save.
+        rss_limit = cfg.rss_watchdog_gb
+        if rss_limit < 0:
+            total = host_mem_total_gb()
+            rss_limit = 0.85 * total if total else 0.0
+        if rss_limit and cfg.output_dir:
+            log.info("RSS watchdog armed at %.1f GB (checkpoint+exit rc=%d "
+                     "above it; auto-resume restarts)", rss_limit,
+                     RSS_WATCHDOG_RC)
 
         train_iter = train_loader.forever() if not cfg.graph_only else None
         graph_iter = graph_loader.forever()
@@ -452,7 +540,9 @@ class Trainer:
                         m, samples = self.check_model(
                             val_loader, use_gt,
                             inception_score=(inception_score if use_gt
-                                             else None))
+                                             else None),
+                            fidelity_score=(fidelity_score if use_gt
+                                            else None))
                         tag = "use_gt" if use_gt else "no_use_gt"
                         log.info("val[%s] @%d: %s", tag, t,
                                  m or "(artifacts only)")
@@ -460,11 +550,15 @@ class Trainer:
                             metrics_writer.write(t, {f"{tag}/{k}": v
                                                      for k, v in m.items()})
                         # Per-checkpoint video artifacts (reference
-                        # save_images, train.py:415, 422).
+                        # save_images, train.py:415, 422); multi-host:
+                        # process 0 writes, the others only computed the
+                        # (collective) val pass.
                         try:
                             from ag2video_tpu.utils.vis import save_images
-                            save_images(cfg.output_dir, t, samples,
-                                        dir_name="gt_val" if use_gt else "val")
+                            if jax.process_index() == 0:
+                                save_images(
+                                    cfg.output_dir, t, samples,
+                                    dir_name="gt_val" if use_gt else "val")
                         except Exception as e:  # vis is best-effort
                             log.warning("save_images failed: %s", e)
             if not cfg.graph_only:
@@ -498,6 +592,20 @@ class Trainer:
                          {k: round(v, 4) for k, v in vals.items()})
                 if metrics_writer:
                     metrics_writer.write(t, vals)
+                if rss_limit and cfg.output_dir:
+                    rss = rss_getter()
+                    if rss > rss_limit:
+                        log.error(
+                            "RSS watchdog: host RSS %.1f GB > %.1f GB "
+                            "(tunnel-client pinned-buffer leak, RESULTS.md "
+                            "'host-memory leak') — saving a FULL checkpoint "
+                            "at t=%d and exiting rc=%d for auto-resume",
+                            rss, rss_limit, t, RSS_WATCHDOG_RC)
+                        if profiling:
+                            jax.profiler.stop_trace()
+                        self.save_checkpoint(cfg.output_dir, t, 0)
+                        ckpt_lib.wait_for_saves()
+                        raise SystemExit(RSS_WATCHDOG_RC)
             if cfg.graph_only:
                 self.state = self.state.replace(step=jnp.asarray(t, jnp.int32))
         # Final checkpoint: the in-loop cadence saves at iteration START, so

@@ -80,6 +80,15 @@ def maybe_init_distributed():
         return
     kw = {}
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        missing = [k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if not os.environ.get(k)]
+        if missing:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but %s %s missing: an "
+                "explicit multi-host launch needs all three of "
+                "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID"
+                % (" and ".join(missing),
+                   "is" if len(missing) == 1 else "are"))
         kw = dict(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
@@ -171,8 +180,14 @@ def main(argv=None):
         trainer.restore_checkpoint(path)
         log.info("resumed from %s at step %d", path, int(trainer.state.step))
 
-    writer = MetricsWriter(cfg.output_dir) if cfg.output_dir else None
-    if cfg.output_dir:
+    # Multi-host: host-side side effects (metrics stream, run_args.json,
+    # checkpoints, video artifacts) are process 0's job — every process
+    # computes the same replicated state, but concurrent writers into one
+    # output_dir race (checkpoints) or duplicate every scalar (tfevents).
+    is_main = jax.process_index() == 0
+    writer = MetricsWriter(cfg.output_dir) if (cfg.output_dir and is_main) \
+        else None
+    if cfg.output_dir and is_main:
         cfg.save_run_args(cfg.output_dir, vocab)
 
     trainer.fit(train_loader, graph_loader, val_loader,

@@ -170,7 +170,6 @@ def test_light_checkpoint_roundtrip(trained, tmp_path_factory):
     assert latest_checkpoint(out, full_only=True) is None
 
     before_params = jax.device_get(trainer.state.params)
-    before_opt = jax.device_get(trainer.state.opt_gen_state)
     skipped = int(trainer.state.skipped_nan)
     # Perturb params AND optimizer state, then restore the light save.
     trainer.state = trainer.state.replace(
@@ -178,35 +177,34 @@ def test_light_checkpoint_roundtrip(trained, tmp_path_factory):
         opt_gen_state=jax.tree.map(
             lambda x: x + 3.0 if hasattr(x, "dtype") else x,
             trainer.state.opt_gen_state))
-    perturbed_opt = jax.device_get(trainer.state.opt_gen_state)
     trainer.restore_checkpoint(path)
     after_params = jax.device_get(trainer.state.params)
     for a, b in zip(jax.tree.leaves(before_params),
                     jax.tree.leaves(after_params)):
         np.testing.assert_array_equal(a, b)
-    # Counters restored; optimizer state NOT restored (stays perturbed —
-    # the caller's target provides it; fit()'s restore target is fresh).
+    # Counters restored; optimizer states RE-INITIALIZED from the restored
+    # weights (moments reset to zeros — not the perturbed target state,
+    # which for param_dtype='bfloat16' would carry a stale fp32 master).
     assert int(trainer.state.step) == t
     assert int(trainer.state.skipped_nan) == skipped
-    for a, b in zip(jax.tree.leaves(perturbed_opt),
-                    jax.tree.leaves(jax.device_get(
-                        trainer.state.opt_gen_state))):
-        np.testing.assert_array_equal(a, b)
+    for leaf in jax.tree.leaves(trainer.state.opt_gen_state):
+        np.testing.assert_array_equal(np.asarray(leaf), 0)
     # Device-committed, like the full restore path.
     for leaf in jax.tree.leaves(trainer.state):
         assert isinstance(leaf, jax.Array), type(leaf)
 
     # A later FULL save is found by full_only and restores optimizer state.
+    ref_opt = jax.device_get(trainer.state.opt_gen_state)
     trainer.save_checkpoint(out, t + 1, 0, light=False)
     full = latest_checkpoint(out, full_only=True)
     assert full and full.endswith(f"itr_{t + 1}")
     assert not is_light_checkpoint(full)
     trainer.state = trainer.state.replace(
         opt_gen_state=jax.tree.map(
-            lambda x: x * 0 if hasattr(x, "dtype") else x,
+            lambda x: x + 7.0 if hasattr(x, "dtype") else x,
             trainer.state.opt_gen_state))
     trainer.restore_checkpoint(full)
-    for a, b in zip(jax.tree.leaves(perturbed_opt),
+    for a, b in zip(jax.tree.leaves(ref_opt),
                     jax.tree.leaves(jax.device_get(
                         trainer.state.opt_gen_state))):
         np.testing.assert_array_equal(a, b)
@@ -482,3 +480,96 @@ def test_bf16_params_training():
         np.testing.assert_array_equal(
             np.asarray(m_leaf.astype(jnp.bfloat16), np.float32),
             np.asarray(p_leaf, np.float32))
+
+
+def test_bf16_light_resume_reinits_master(tmp_path):
+    """ADVICE r4 (high): resuming a param_dtype='bfloat16' run from a LIGHT
+    checkpoint must NOT keep the resume target's fresh-init optimizer
+    states — their with_fp32_master 'master' leaves are fp32 copies of the
+    RANDOM-INIT params, so the first update would overwrite the restored
+    weights with bf16(stale master). The trainer path re-initializes the
+    optimizer states from the restored weights (master == fp32(restored));
+    the bare ckpt_lib path without optimizers refuses."""
+    import jax
+
+    from ag2video_tpu.train import checkpoint as ckpt_lib
+
+    def make(seed):
+        cfg, vocab = tiny_config(param_dtype="bfloat16", donate_step=False,
+                                 seed=seed)
+        ds = get_dataset("synthetic", "train", cfg)
+        loader = Loader(ds, cfg, shuffle=True)
+        tr = Trainer(cfg, vocab)
+        tr.init(next(loader.epoch(0)))
+        return tr, loader
+
+    trainer, loader = make(seed=0)
+    b0 = next(loader.epoch(0))
+    for _ in range(2):
+        trainer.train_step(b0)
+    out = str(tmp_path)
+    t = int(trainer.state.step)
+    trainer.save_checkpoint(out, t, 0, light=True)
+    saved_params = jax.device_get(trainer.state.params)
+    saved_d = jax.device_get(trainer.state.d_params)
+
+    # Fresh process simulation: different seed => different random init.
+    resumed, loader2 = make(seed=123)
+    resumed.restore_checkpoint(ckpt_lib.checkpoint_path(out, t))
+    for a, b in zip(jax.tree.leaves(saved_params),
+                    jax.tree.leaves(jax.device_get(resumed.state.params))):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    # The master is fp32(restored params), NOT the stale fresh-init copy.
+    master = resumed.state.opt_d_state["master"]
+    for m_leaf, p_leaf in zip(jax.tree.leaves(master), jax.tree.leaves(saved_d)):
+        np.testing.assert_array_equal(np.asarray(m_leaf, np.float32),
+                                      np.asarray(p_leaf, np.float32))
+    # One update must keep params near the restored weights (a stale master
+    # would snap them back to the fresh init).
+    before = np.concatenate([np.asarray(x, np.float32).ravel()
+                             for x in jax.tree.leaves(saved_d)])
+    resumed.train_step(next(loader2.epoch(0)))
+    after = np.concatenate([np.asarray(x, np.float32).ravel() for x in
+                            jax.tree.leaves(jax.device_get(
+                                resumed.state.d_params))])
+    assert np.abs(after - before).max() < 0.1, \
+        "post-resume update jumped away from the restored weights"
+
+    # Bare restore without optimizers into a master-carrying target: error.
+    other, _ = make(seed=7)
+    with pytest.raises(ValueError, match="master"):
+        ckpt_lib.restore_checkpoint(ckpt_lib.checkpoint_path(out, t),
+                                    other.state)
+
+
+def test_rss_watchdog_checkpoints_and_exits(tmp_path):
+    """VERDICT r4 item 6: the in-framework host-leak mitigation. Above the
+    RSS threshold, fit() writes a FULL checkpoint at the current step and
+    exits with the distinct restart code (75/EX_TEMPFAIL); auto-resume
+    handles the rest. The getter is injectable for this test."""
+    from ag2video_tpu.train.checkpoint import is_light_checkpoint
+    from ag2video_tpu.train.trainer import RSS_WATCHDOG_RC
+
+    cfg, vocab = tiny_config(output_dir=str(tmp_path / "run"),
+                             num_iterations=50, checkpoint_every=100,
+                             print_every=1, rss_watchdog_gb=50.0,
+                             num_val_samples=2, val_inception=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+
+    rss = {"v": 10.0}
+    with pytest.raises(SystemExit) as e:
+        trainer.fit(train_loader, graph_loader,
+                    rss_getter=lambda: rss.update(v=rss["v"] + 30) or rss["v"])
+    assert e.value.code == RSS_WATCHDOG_RC
+    # Fired on the second log boundary (10+30=40 <= 50 < 70), after t=2;
+    # the emergency save is FULL so resume keeps optimizer moments.
+    t = int(trainer.state.step)
+    path = os.path.join(cfg.output_dir, f"itr_{t}")
+    assert os.path.isdir(path), path
+    assert not is_light_checkpoint(path)
