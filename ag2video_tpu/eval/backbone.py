@@ -105,11 +105,30 @@ def grid_labels(boxes: np.ndarray, objs: Dict[str, np.ndarray]) -> np.ndarray:
 
 
 def _resize64(x: jnp.ndarray) -> jnp.ndarray:
-    if x.shape[1] == INPUT_SIZE and x.shape[2] == INPUT_SIZE:
+    """Downsample to the backbone input size. Integer factors use AREA
+    averaging (antialiased — a plain bilinear 4x downsample samples only
+    2x2 neighbors and aliases the shape edges, a visibly different domain
+    from the training frames)."""
+    H, W = x.shape[1], x.shape[2]
+    if H == INPUT_SIZE and W == INPUT_SIZE:
         return x
+    if H % INPUT_SIZE == 0 and W % INPUT_SIZE == 0:
+        fh, fw = H // INPUT_SIZE, W // INPUT_SIZE
+        x = x.reshape(x.shape[0], INPUT_SIZE, fh, INPUT_SIZE, fw,
+                      x.shape[-1])
+        return x.mean(axis=(2, 4))
     return jax.image.resize(
         x, (x.shape[0], INPUT_SIZE, INPUT_SIZE, x.shape[-1]),
         method="bilinear")
+
+
+def _area_downsample_np(x: np.ndarray, size: int = INPUT_SIZE) -> np.ndarray:
+    """Host-side twin of _resize64's area path for training data."""
+    N, H, W, C = x.shape
+    assert H % size == 0 and W % size == 0, (H, W, size)
+    fh, fw = H // size, W // size
+    return x.reshape(N, size, fh, size, fw, C).mean(axis=(2, 4),
+                                                    dtype=np.float32)
 
 
 # ----------------------------------------------------------------------
@@ -117,18 +136,23 @@ def _resize64(x: jnp.ndarray) -> jnp.ndarray:
 
 def make_frame_dataset(cfg, n_videos: int, partition: str,
                        frames_per_video: int = 2, seed: int = 0,
-                       image_size: Optional[Tuple[int, int]] = None):
+                       image_size: Optional[Tuple[int, int]] = None,
+                       render_size: Optional[Tuple[int, int]] = None):
     """Render `n_videos * frames_per_video` real frames + labels from the
-    synthetic dataset (same construction as data/registry.py's, except the
-    render size defaults to the backbone's INPUT_SIZE — cheap on the
-    1-vCPU host; pass image_size=cfg.image_size for a calibration set in
-    the val pass's actual domain). Returns host arrays (frames (N,H,W,3)
-    ImageNet-normalized, presence (N,18), grid (N,GRID,GRID))."""
+    synthetic dataset (same construction as data/registry.py's). By
+    default frames come back at the backbone's INPUT_SIZE; render_size
+    renders LARGER and area-downsamples to INPUT_SIZE — the antialiased
+    domain the val pass actually feeds (generated run-resolution frames
+    area-pooled by _resize64). Pass image_size to get frames at a raw
+    resolution instead (calibration sets). Returns host arrays
+    (frames (N,H,W,3) ImageNet-normalized, presence (N,18),
+    grid (N,GRID,GRID))."""
     from ag2video_tpu.data.synthetic import SyntheticDataset
 
+    assert not (image_size and render_size)
     ds = SyntheticDataset(
         partition=partition,
-        image_size=image_size or (INPUT_SIZE, INPUT_SIZE),
+        image_size=image_size or render_size or (INPUT_SIZE, INPUT_SIZE),
         frames_per_action=cfg.frames_per_action,
         dataset_size=n_videos,
         number_of_objects=min(cfg.number_of_objects, cfg.max_objects - 1),
@@ -148,16 +172,22 @@ def make_frame_dataset(cfg, n_videos: int, partition: str,
             frames.append(vids[t])
             pres.append(p)
             grids.append(g[t])
-    return (np.stack(frames), np.stack(pres), np.stack(grids))
+    out = np.stack(frames)
+    if render_size is not None:
+        out = _area_downsample_np(out)
+    return (out, np.stack(pres), np.stack(grids))
 
 
 def train_backbone(frames: np.ndarray, pres: np.ndarray, grids: np.ndarray,
                    steps: int = 2000, batch_size: int = 256,
                    lr: float = 2e-3, seed: int = 0, log_every: int = 200,
-                   log=None):
+                   log=None, weight_decay: float = 1e-4):
     """Train on device: the whole frame set is device_put ONCE and batches
     are gathered on-device per step (the tunneled host->device link is
-    ~40 MB/s — per-step batch uploads would dominate)."""
+    ~40 MB/s — per-step batch uploads would dominate). Presence labels are
+    constant per VIDEO, so the effective sample count is videos, not
+    frames — random H/V flips (grid labels flipped to match; presence
+    invariant) and weight decay keep the held-out gap in check."""
     import optax
 
     model = SyntheticEvalBackbone()
@@ -169,7 +199,7 @@ def train_backbone(frames: np.ndarray, pres: np.ndarray, grids: np.ndarray,
     d_pres = jax.device_put(jnp.asarray(pres))
     d_grid = jax.device_put(jnp.asarray(grids))
 
-    opt = optax.adam(lr)
+    opt = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = opt.init(params)
 
     def loss_fn(p, xb, yb_p, yb_g):
@@ -179,10 +209,21 @@ def train_backbone(frames: np.ndarray, pres: np.ndarray, grids: np.ndarray,
         acc = (( (pl > 0) == (yb_p > 0.5)).mean())
         return lp + lg, (lp, lg, acc)
 
+    # The dataset arrays are jit ARGUMENTS, not closure captures: captured
+    # concrete arrays are baked into the HLO as constants, and the tunneled
+    # remote-compile request rejects a ~100 MB program body (HTTP 413).
     @jax.jit
-    def step(p, o, key):
-        idx = jax.random.randint(key, (batch_size,), 0, n)
-        xb, yp, yg = d_frames[idx], d_pres[idx], d_grid[idx]
+    def step(p, o, key, frames_d, pres_d, grid_d):
+        k_idx, k_fh, k_fv = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        xb, yp, yg = frames_d[idx], pres_d[idx], grid_d[idx]
+        # Per-sample random H/V flips; grid labels flip with the image.
+        fh = jax.random.bernoulli(k_fh, shape=(batch_size, 1, 1, 1))
+        fv = jax.random.bernoulli(k_fv, shape=(batch_size, 1, 1, 1))
+        xb = jnp.where(fh, xb[:, :, ::-1], xb)
+        xb = jnp.where(fv, xb[:, ::-1], xb)
+        yg = jnp.where(fh[..., 0], yg[:, :, ::-1], yg)
+        yg = jnp.where(fv[..., 0], yg[:, ::-1], yg)
         (tot, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
             p, xb, yp, yg)
         up, o = opt.update(g, o, p)
@@ -192,7 +233,8 @@ def train_backbone(frames: np.ndarray, pres: np.ndarray, grids: np.ndarray,
     hist = []
     for t in range(steps):
         key, k = jax.random.split(key)
-        params, opt_state, tot, aux = step(params, opt_state, k)
+        params, opt_state, tot, aux = step(params, opt_state, k,
+                                           d_frames, d_pres, d_grid)
         if log is not None and (t % log_every == 0 or t == steps - 1):
             lp, lg, acc = (float(a) for a in aux)
             log.info("backbone step %d/%d loss=%.4f presence=%.4f "

@@ -42,7 +42,7 @@ class GenerationSession:
         self._run_dir = run_dir
         self._checkpoint = checkpoint or run_dir
         self._generate_jit = jax.jit(self._generate_fn,
-                                     static_argnums=(6,))
+                                     static_argnums=(6, 7))
 
     # ------------------------------------------------------------------
     def load(self, sample_batch: Batch):
@@ -62,18 +62,25 @@ class GenerationSession:
 
     # ------------------------------------------------------------------
     def _generate_fn(self, variables, imgs, objs, triplets, actions, boxes,
-                     use_gt=False):
+                     use_gt=False, layout_only=False):
         out = self.model.apply(
             variables, imgs, objs, triplets, actions, boxes,
-            test_mode=True, use_gt=use_gt, train=False)
+            test_mode=True, use_gt=use_gt, graph_only=layout_only,
+            train=False)
+        if layout_only:
+            # Box rollout only (meta.py returns before the generator):
+            # resolution-independent, so long-horizon layout sweeps run
+            # anywhere without paying pixel synthesis.
+            return None, out["boxes_pred"]
         return out["imgs_pred"], out["boxes_pred"]
 
     def generate(self, batch: Batch,
                  actions: Optional[np.ndarray] = None,
-                 use_gt: bool = False):
+                 use_gt: bool = False, layout_only: bool = False):
         """Generate videos; `actions` (A, 7) or (B, A, 7) overrides the
         batch's actions (the compositionality hook). use_gt=True renders
-        from GT boxes (the reference's --use_test mode, test.py:285)."""
+        from GT boxes (the reference's --use_test mode, test.py:285);
+        layout_only=True skips pixel synthesis and returns (None, boxes)."""
         assert self._variables is not None, "call load() first"
         b = batch.as_dict()
         if actions is not None:
@@ -91,8 +98,9 @@ class GenerationSession:
         imgs_pred, boxes_pred = self._generate_jit(
             self._variables, jnp.asarray(b["imgs"]), jnp.asarray(b["objs"]),
             jnp.asarray(b["triplets"]), jnp.asarray(b["actions"]),
-            jnp.asarray(b["boxes"]), use_gt)
-        return np.asarray(imgs_pred), np.asarray(boxes_pred)
+            jnp.asarray(b["boxes"]), use_gt, layout_only)
+        return (None if imgs_pred is None else np.asarray(imgs_pred),
+                np.asarray(boxes_pred))
 
     # ------------------------------------------------------------------
     def run_action_sweep(self, batch: Batch, out_dir: str,

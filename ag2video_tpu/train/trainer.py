@@ -348,7 +348,14 @@ class Trainer:
             fidelity_score.clean()
         ncond = self.cfg.n_frames_G - 1  # conditioning frames pass through
         for batch in loader.epoch(0):
-            imgs_pred, boxes_pred, stats = self.eval_batch(batch, use_gt)
+            # Place once: the fidelity scorer reads the REAL frames from the
+            # same device buffers the eval forward consumed (re-uploading
+            # them would cost ~0.5 s/batch through the ~40 MB/s tunnel).
+            b = self._place(
+                {k: jnp.asarray(v) for k, v in batch.as_dict().items()})
+            with self._mesh_ctx():
+                imgs_pred, boxes_pred, stats = self._eval_forward(
+                    self.state, b, use_gt)
             tot += np.array([float(s) for s in stats])
             if inception_score is not None:
                 flat = jnp.reshape(imgs_pred, (-1,) + imgs_pred.shape[2:])
@@ -364,7 +371,7 @@ class Trainer:
                 fidelity_score.add_fake(
                     jnp.reshape(fake, (-1,) + fake.shape[2:]),
                     presence=np.repeat(pres, T, axis=0))
-                real = jnp.asarray(np.asarray(batch.imgs)[:, ncond:])
+                real = b["imgs"][:, ncond:]
                 fidelity_score.add_real(
                     jnp.reshape(real, (-1,) + real.shape[2:]))
             if not samples:

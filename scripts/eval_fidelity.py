@@ -1,0 +1,172 @@
+"""Offline fidelity scoring of checkpoints (VERDICT r4 item 1).
+
+For each itr_* checkpoint of a run, generates frames on the val split
+conditioned on GT boxes (use_gt=True — isolates pixel quality from layout
+error, the reference's train-time Inception contract,
+scripts/train.py:175,247) and reports feature-FID(generated, real) +
+presence accuracy under the synthetic-calibrated backbone
+(eval/backbone.py). Control rows calibrate the scale: real-vs-real
+(the floor) and noise-vs-real (the ceiling).
+
+    python -m scripts.eval_fidelity --run_dir output/stab256 \
+        [--checkpoints all|full|latest] [--num_samples 64] [--batch_size 4]
+
+The in-loop use_gt val pass reports the same metrics per checkpoint while
+training (train/trainer.py check_model); this CLI re-scores saved
+checkpoints post-hoc and adds the control rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import re
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("eval_fidelity")
+
+
+def list_checkpoints(run_dir: str, which: str):
+    from ag2video_tpu.train.checkpoint import is_light_checkpoint
+
+    paths = []
+    for p in glob.glob(os.path.join(run_dir, "itr_*")):
+        m = re.match(r".*itr_(\d+)$", p)
+        if m:
+            paths.append((int(m.group(1)), p))
+    paths.sort()
+    if which == "latest":
+        paths = paths[-1:]
+    elif which == "full":
+        paths = [(t, p) for t, p in paths if not is_light_checkpoint(p)]
+    return paths
+
+
+def score_checkpoint(path, cfg, vocab, loader, scorer, num_samples):
+    import jax.numpy as jnp
+
+    from ag2video_tpu.eval.backbone import presence_labels
+    from ag2video_tpu.inference.generate import GenerationSession
+
+    sess = GenerationSession(os.path.dirname(path), checkpoint=path)
+    scorer.clean()
+    ncond = cfg.n_frames_G - 1
+    n = 0
+    loaded = False
+    for batch in loader.epoch(0):
+        if not loaded:
+            sess.load(batch)
+            loaded = True
+        imgs_pred, _ = sess.generate(batch, use_gt=True)
+        fake = imgs_pred[:, ncond:]
+        T = fake.shape[1]
+        objs = np.asarray(batch.objs)
+        pres = presence_labels({"shape": objs[..., 0],
+                                "color": objs[..., 1]})
+        scorer.add_fake(jnp.asarray(fake.reshape((-1,) + fake.shape[2:])),
+                        presence=np.repeat(pres, T, axis=0))
+        real = np.asarray(batch.imgs)[:, ncond:]
+        scorer.add_real(jnp.asarray(real.reshape((-1,) + real.shape[2:])))
+        n += batch.imgs.shape[0]
+        if n >= num_samples:
+            break
+    return scorer.compute()
+
+
+def control_rows(cfg, loader, scorer, num_samples):
+    """real-vs-real (floor) and noise-vs-real (ceiling) on the same val
+    frames — the scale FID numbers should be read against."""
+    import jax.numpy as jnp
+
+    from ag2video_tpu.eval.backbone import presence_labels
+
+    frames, press = [], []
+    n = 0
+    ncond = cfg.n_frames_G - 1
+    for batch in loader.epoch(0):
+        f = np.asarray(batch.imgs)[:, ncond:]
+        objs = np.asarray(batch.objs)
+        pres = presence_labels({"shape": objs[..., 0],
+                                "color": objs[..., 1]})
+        press.append(np.repeat(pres, f.shape[1], axis=0))
+        frames.append(f.reshape((-1,) + f.shape[2:]))
+        n += batch.imgs.shape[0]
+        if n >= num_samples:
+            break
+    frames = np.concatenate(frames)
+    press = np.concatenate(press)
+    half = frames.shape[0] // 2
+
+    scorer.clean()
+    scorer.add_fake(jnp.asarray(frames[:half]), presence=press[:half])
+    scorer.add_real(jnp.asarray(frames[half:]))
+    rr = scorer.compute()
+
+    rng = np.random.RandomState(0)
+    noise = rng.randn(*frames[:half].shape).astype(np.float32)
+    scorer.clean()
+    scorer.add_fake(jnp.asarray(noise), presence=press[:half])
+    scorer.add_real(jnp.asarray(frames[half:]))
+    nz = scorer.compute()
+    return {"real_vs_real": rr, "noise_vs_real": nz}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoints", default="all",
+                   choices=["all", "full", "latest"])
+    p.add_argument("--partition", default="val")
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--backbone", default="")
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.eval.backbone import (DEFAULT_WEIGHTS, FidelityScore,
+                                            load_backbone)
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    loaded = load_backbone(args.backbone or DEFAULT_WEIGHTS)
+    if loaded is None:
+        raise SystemExit("no backbone asset — run scripts.train_backbone")
+    params, meta = loaded
+    log.info("backbone meta: %s", {k: v for k, v in meta.items()
+                                   if k != "history"})
+    scorer = FidelityScore(params)
+
+    cfg, vocab = Config.load_run_args(args.run_dir)
+    cfg = cfg.replace(batch_size=args.batch_size)
+    ds = get_dataset(cfg.dataset, args.partition, cfg)
+    loader = Loader(ds, cfg, shuffle=False, drop_last=False)
+
+    results = {"controls": control_rows(cfg, loader, scorer,
+                                        args.num_samples)}
+    log.info("controls: %s", results["controls"])
+
+    rows = []
+    for t, path in list_checkpoints(args.run_dir, args.checkpoints):
+        m = score_checkpoint(path, cfg, vocab, loader, scorer,
+                             args.num_samples)
+        m["step"] = t
+        rows.append(m)
+        log.info("itr_%d: %s", t, m)
+    results["checkpoints"] = rows
+
+    out = args.out or os.path.join(args.run_dir, "fidelity.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    log.info("wrote %s", out)
+    print(json.dumps(results["checkpoints"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,16 +132,116 @@ def run_composition_sweep(sess, loader, num_samples):
     return result
 
 
+def extended_batch(batch, factor: int):
+    """A batch whose time axis is `factor` x longer: triplets tile (they
+    are constant per frame), boxes keep only the frame-0 seed, imgs repeat
+    frame 0 (the no-use_gt rollout reads nothing past the seed). The model
+    sees T' = factor*F scan steps; the action clock normalizes rel to the
+    clip length (models/layout_model.py action_clock), so original actions
+    execute in 'slow motion' over the whole extended clip."""
+    import dataclasses
+
+    f = int(factor)
+    trip = np.repeat(np.asarray(batch.triplets), f, axis=1)[
+        :, :f * batch.triplets.shape[1]]
+    T2 = trip.shape[1]
+    boxes = np.zeros(
+        (batch.boxes.shape[0], T2) + batch.boxes.shape[2:], np.float32)
+    boxes[:, 0] = np.asarray(batch.boxes)[:, 0]
+    imgs = np.broadcast_to(
+        np.asarray(batch.imgs)[:, :1],
+        (batch.imgs.shape[0], T2) + batch.imgs.shape[2:]).copy()
+    return dataclasses.replace(batch, imgs=imgs, boxes=boxes, triplets=trip)
+
+
+def run_horizon_sweep(sess, loader, num_samples, factors=(2, 4)):
+    """Long-horizon rollout beyond training length (VERDICT r4 item 7;
+    the reference's extended-clock contract, scripts/test.py:251
+    `norm_actions[:, :, 4] = 3.`). Two regimes per factor k:
+
+      slowmo_kx — original actions on a k*F-frame rollout: the clock
+        normalizes to clip length, so the action executes over the whole
+        window at 1/k the per-frame velocity;
+      hold_kx   — extend_horizon(actions, k) on a k*F rollout: rel reaches
+        1 at frame F (training-speed execution), then the model must HOLD
+        every object still for the remaining (k-1)*F frames.
+
+    Scored against the rule oracle at the same T' (exact on the linear
+    dynamics). The per-frame IoU trajectory localizes where coherence
+    degrades."""
+    import jax.numpy as jnp
+
+    from ag2video_tpu.inference.actions import extend_horizon
+    from ag2video_tpu.models.rule_baseline import rule_based_boxes
+    from ag2video_tpu.ops.metrics import iou_stats
+
+    totals = {}
+    per_frame = {}
+    n = 0
+    loaded = False
+    for batch in loader.epoch(0):
+        if not loaded:
+            sess.load(batch)
+            loaded = True
+        variants = [("baseline_1x", batch, np.asarray(batch.actions))]
+        for k in factors:
+            ext = extended_batch(batch, k)
+            variants.append((f"slowmo_{k}x", ext, np.asarray(ext.actions)))
+            held = np.stack([extend_horizon(a, float(k))
+                             for a in np.asarray(ext.actions)])
+            variants.append((f"hold_{k}x", ext, held))
+        mask0 = (batch.objs[..., 0] != 0)[:, None, :]
+        for name, b, acts in variants:
+            expected = np.asarray(rule_based_boxes(
+                jnp.asarray(b.objs), jnp.asarray(b.triplets),
+                jnp.asarray(acts), jnp.asarray(b.boxes), sess.vocab))
+            _, pred = sess.generate(b, actions=acts, layout_only=True)
+            pred = np.clip(pred, 0.0, 1.0)
+            mask = np.broadcast_to(mask0, b.boxes[:, 1:].shape[:-1])
+            stats = iou_stats(jnp.asarray(pred[:, 1:]),
+                              jnp.asarray(expected[:, 1:]),
+                              jnp.asarray(mask))
+            totals[name] = totals.get(name, np.zeros(4)) + np.array(
+                [float(s) for s in stats])
+            # Per-frame mean IoU: where does coherence degrade?
+            T = pred.shape[1]
+            pf = np.zeros(T - 1)
+            for t in range(1, T):
+                s = iou_stats(jnp.asarray(pred[:, t:t + 1]),
+                              jnp.asarray(expected[:, t:t + 1]),
+                              jnp.asarray(mask[:, :1]))
+                pf[t - 1] = float(s[0]) / max(float(s[3]), 1.0)
+            per_frame[name] = per_frame.get(name, np.zeros(T - 1)) + pf
+        n += batch.imgs.shape[0]
+        if n >= num_samples:
+            break
+
+    n_batches = max(1, int(np.ceil(n / batch.imgs.shape[0])))
+    result = {}
+    for key, t in sorted(totals.items()):
+        d = max(t[3], 1.0)
+        result[key] = {"avg_iou": round(t[0] / d, 4),
+                       "iou@0.5": round(t[1] / d, 4),
+                       "iou@0.3": round(t[2] / d, 4),
+                       "per_frame_iou": [round(v / n_batches, 4)
+                                         for v in per_frame[key]]}
+    result["n_videos"] = n
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--partition", default="val", choices=["val", "test"])
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--sweep", default=None, choices=[None, "composition"],
+    p.add_argument("--sweep", default=None,
+                   choices=[None, "composition", "horizon"],
                    help="composition: score zero-shot composed/timing-"
                         "shifted action graphs against the analytic "
-                        "expectation (linear synthetic only)")
+                        "expectation (linear synthetic only); horizon: "
+                        "rollouts at 2x/4x the training clip length "
+                        "(slow-motion + execute-then-hold regimes)")
     args = p.parse_args(argv)
     from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -166,6 +266,10 @@ def main(argv=None):
 
     if args.sweep == "composition":
         result = run_composition_sweep(sess, loader, args.num_samples)
+        print(json.dumps(result, indent=2))
+        return result
+    if args.sweep == "horizon":
+        result = run_horizon_sweep(sess, loader, args.num_samples)
         print(json.dumps(result, indent=2))
         return result
 

@@ -1,0 +1,119 @@
+"""Train the synthetic-calibrated fidelity backbone (VERDICT r4 item 1).
+
+Trains eval/backbone.py's small CNN on REAL rendered synthetic frames
+(labels are free: per-object shape x color presence + box-center grid
+occupancy), evaluates it on held-out frames in BOTH domains (direct
+64^2 renders and run-resolution renders resized to 64 — the val pass's
+actual input path), and saves the frozen weights to
+assets/synthetic_backbone.npz, where the trainer's use_gt val pass and
+scripts/eval_fidelity.py pick them up.
+
+    python -m scripts.train_backbone                # defaults: 2k steps
+    python -m scripts.train_backbone --image_size 256,256  # calibration size
+
+It stands in for the reference's pretrained torchvision backbones
+(reference evaluation/inception.py:8-49), which cannot be downloaded in
+this environment — unlike those, its features measurably discriminate on
+THIS data distribution (accuracies are printed and saved as meta).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+log = logging.getLogger("train_backbone")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--n_videos", type=int, default=4000)
+    p.add_argument("--frames_per_video", type=int, default=2)
+    p.add_argument("--n_val_videos", type=int, default=256)
+    p.add_argument("--image_size", type=str, default="256,256",
+                   help="run resolution for the domain-calibration set")
+    p.add_argument("--frames_per_action", type=int, default=4)
+    p.add_argument("--number_of_objects", type=int, default=7)
+    p.add_argument("--max_objects", type=int, default=12)
+    p.add_argument("--max_actions", type=int, default=4)
+    p.add_argument("--synthetic_dynamics", type=str, default="linear")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args(argv)
+
+    from ag2video_tpu.eval.backbone import (
+        DEFAULT_WEIGHTS, eval_backbone, make_frame_dataset, save_backbone,
+        train_backbone)
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    class _Cfg:  # the fields make_frame_dataset reads
+        frames_per_action = args.frames_per_action
+        number_of_objects = args.number_of_objects
+        max_objects = args.max_objects
+        max_actions = args.max_actions
+        synthetic_dynamics = args.synthetic_dynamics
+        seed = args.seed
+
+    cfg = _Cfg()
+    log.info("rendering %d train videos...", args.n_videos)
+    # Render at 128^2 and area-downsample to 64: the ANTIALIASED edge
+    # profile of the val pass's inputs (run-resolution frames area-pooled
+    # by eval/backbone._resize64). Training on direct 64^2 renders left a
+    # domain gap — presence acc 0.96 on aliased 64^2 renders but only 0.77
+    # on 256^2->64 frames (measured r5).
+    tr = make_frame_dataset(cfg, args.n_videos, "train",
+                            frames_per_video=args.frames_per_video,
+                            seed=args.seed, render_size=(128, 128))
+    log.info("train frames: %s", tr[0].shape)
+    params, hist = train_backbone(*tr, steps=args.steps,
+                                  batch_size=args.batch_size, lr=args.lr,
+                                  seed=args.seed, log=log)
+
+    # Calibration 1: held-out frames in the training domain (128 -> 64).
+    va = make_frame_dataset(cfg, args.n_val_videos, "val",
+                            frames_per_video=args.frames_per_video,
+                            seed=args.seed + 1, render_size=(128, 128))
+    acc_64 = eval_backbone(params, *va)
+    log.info("held-out (128^2 -> area 64 renders): %s", acc_64)
+
+    # Calibration 2: run-resolution renders through the val pass's actual
+    # input path (render at image_size, bilinear-resize to 64 on device —
+    # eval/backbone.py _resize64, exactly what FidelityScore applies).
+    import jax
+    import jax.numpy as jnp
+
+    from ag2video_tpu.eval.backbone import _resize64
+
+    size = tuple(int(s) for s in args.image_size.split(","))
+    vb = make_frame_dataset(cfg, args.n_val_videos, "val",
+                            frames_per_video=args.frames_per_video,
+                            seed=args.seed + 1, image_size=size)
+    rs = jax.jit(_resize64)
+    small = np.concatenate(
+        [np.asarray(rs(jnp.asarray(vb[0][i:i + 64])))
+         for i in range(0, vb[0].shape[0], 64)])
+    acc_hi = eval_backbone(params, small, vb[1], vb[2])
+    log.info("held-out (%s renders -> resize64, the val-pass domain): %s",
+             size, acc_hi)
+
+    meta = {"steps": args.steps, "train_frames": int(tr[0].shape[0]),
+            "acc_direct64": acc_64, "acc_runres_resize64": acc_hi,
+            "image_size": list(size), "dynamics": args.synthetic_dynamics,
+            "history": hist}
+    path = save_backbone(params, args.out or DEFAULT_WEIGHTS, meta=meta)
+    log.info("saved %s", path)
+    print(json.dumps({"path": path, "acc_direct64": acc_64,
+                      "acc_runres_resize64": acc_hi}))
+
+
+if __name__ == "__main__":
+    main()

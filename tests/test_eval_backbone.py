@@ -1,0 +1,106 @@
+"""Synthetic-calibrated fidelity backbone (eval/backbone.py, VERDICT r4
+item 1): label builders, trainability, and the FidelityScore contract."""
+
+import numpy as np
+import pytest
+
+from ag2video_tpu.eval.backbone import (
+    GRID, N_COLORS, N_PRESENCE, FidelityScore, SyntheticEvalBackbone,
+    eval_backbone, grid_labels, make_frame_dataset, presence_labels,
+    train_backbone)
+
+
+class _Cfg:
+    frames_per_action = 3
+    number_of_objects = 4
+    max_objects = 6
+    max_actions = 2
+    synthetic_dynamics = "linear"
+    seed = 0
+
+
+def test_presence_labels():
+    objs = {"shape": np.array([[1, 2, 0, 0]]),   # square, disc, dummy, pad
+            "color": np.array([[3, 3, 0, 0]])}
+    lab = presence_labels(objs)
+    assert lab.shape == (1, N_PRESENCE)
+    assert lab.sum() == 2
+    assert lab[0, (1 - 1) * N_COLORS + (3 - 1)] == 1   # blue square
+    assert lab[0, (2 - 1) * N_COLORS + (3 - 1)] == 1   # blue disc
+
+
+def test_grid_labels():
+    boxes = np.zeros((1, 2, 3, 4), np.float32)
+    boxes[0, :, 0] = [0.0, 0.0, 0.2, 0.2]    # center (.1,.1) -> cell (0,0)
+    boxes[0, :, 1] = [0.7, 0.7, 0.2, 0.2]    # center (.8,.8) -> cell (3,3)
+    boxes[0, :, 2] = [0.4, 0.4, 0.2, 0.2]    # padding (shape id 0)
+    objs = {"shape": np.array([[1, 2, 0]])}
+    lab = grid_labels(boxes, objs)
+    assert lab.shape == (1, 2, GRID, GRID)
+    assert lab[0, 0, 0, 0] == 1 and lab[0, 0, 3, 3] == 1
+    assert lab.sum() == 4  # two objects x two frames
+
+
+@pytest.fixture(scope="module")
+def tiny_backbone():
+    cfg = _Cfg()
+    frames, pres, grids = make_frame_dataset(cfg, 48, "train",
+                                             frames_per_video=2)
+    params, _ = train_backbone(frames, pres, grids, steps=300,
+                               batch_size=32, lr=3e-3)
+    return cfg, params, (frames, pres, grids)
+
+
+def test_backbone_learns(tiny_backbone):
+    """A few steps on the tiny set: both heads must beat chance clearly on
+    the training distribution (presence positives are ~1/3 of bits; chance
+    all-negative accuracy ~72%)."""
+    cfg, params, (frames, pres, grids) = tiny_backbone
+    acc = eval_backbone(params, frames, pres, grids)
+    assert acc["presence_acc"] > 0.85, acc
+    assert acc["grid_acc"] > 0.85, acc
+
+
+def test_fidelity_score_discriminates(tiny_backbone):
+    """FID(real, real') must be far below FID(noise, real), and presence
+    accuracy on real frames far above noise frames — the 'metric has
+    signal' property the random-init Inception lacks."""
+    cfg, params, (frames, pres, _) = tiny_backbone
+    rng = np.random.RandomState(0)
+    half = frames.shape[0] // 2
+    real_a, real_b = frames[:half], frames[half:]
+    noise = rng.randn(*real_a.shape).astype(np.float32)
+
+    fs = FidelityScore(params)
+    fs.add_fake(real_a, presence=pres[:half])
+    fs.add_real(real_b)
+    good = fs.compute()
+
+    fs.clean()
+    fs.add_fake(noise, presence=pres[:half])
+    fs.add_real(real_b)
+    bad = fs.compute()
+
+    assert good["fidelity_fid"] * 5 < bad["fidelity_fid"], (good, bad)
+    assert good["fidelity_presence_acc"] > bad["fidelity_presence_acc"], \
+        (good, bad)
+
+
+def test_check_model_reports_fidelity(tiny_backbone, tmp_path):
+    """The use_gt val pass reports fidelity_fid + fidelity_presence_acc
+    when a scorer is supplied (trainer wiring)."""
+    from tests.test_train import tiny_config
+    from ag2video_tpu.data import get_dataset
+    from ag2video_tpu.data.registry import Loader
+    from ag2video_tpu.train.trainer import Trainer
+
+    _, params, _ = tiny_backbone
+    cfg, vocab = tiny_config()
+    ds = get_dataset("synthetic", "val", cfg)
+    loader = Loader(ds, cfg, shuffle=False, drop_last=False)
+    tr = Trainer(cfg, vocab)
+    tr.init(next(loader.epoch(0)))
+    m, _ = tr.check_model(loader, use_gt=True, max_samples=4,
+                          fidelity_score=FidelityScore(params))
+    assert "fidelity_fid" in m and np.isfinite(m["fidelity_fid"])
+    assert 0.0 <= m["fidelity_presence_acc"] <= 1.0

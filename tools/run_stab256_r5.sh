@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-5 256^2 GAN-stability run: ONE launch command, restarts owned by
+# the in-trainer RSS watchdog (Config.rss_watchdog_gb, VERDICT r4 item 6)
+# instead of r4's pre-planned 5k segments: when host RSS crosses the
+# threshold (the tunnel client leaks ~7.7 MB of pinned host memory per
+# step, RESULTS.md "host-memory leak"), the trainer saves a FULL
+# checkpoint at the current step and exits rc=75; this loop resumes it.
+# Progress is therefore never lost and Adam moments are never reset,
+# at ANY checkpoint cadence.
+#
+# TARGET (env, default 25000): total iterations.
+# DEADLINE_EPOCH (env, optional): no restart after this unix time; the
+# in-flight process always runs to completion (killing mid-TPU-execution
+# wedges the chip, CLAUDE.md gotchas) — pair with a TARGET that fits.
+set -u
+cd /root/repo
+mkdir -p output
+LOG=output/stab256.log
+TARGET="${TARGET:-25000}"
+DEADLINE_EPOCH="${DEADLINE_EPOCH:-0}"
+COMMON="--dataset synthetic --image_size 256,256 --batch_size 2 \
+  --output_dir output/stab256 --checkpoint_every 2500 --print_every 50 \
+  --full_checkpoint_every_n 2 --num_iterations $TARGET"
+
+attempt=0
+while :; do
+  if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "=== deadline passed, not restarting $(date -u +%FT%TZ) ===" >> "$LOG"
+    break
+  fi
+  RESUME=""
+  if ls output/stab256/itr_* >/dev/null 2>&1; then
+    RESUME="--restore_checkpoint 1"
+  fi
+  attempt=$((attempt + 1))
+  echo "=== launch attempt=$attempt target=$TARGET resume='$RESUME' $(date -u +%FT%TZ) ===" >> "$LOG"
+  python -m scripts.train $COMMON $RESUME >> "$LOG" 2>&1
+  rc=$?
+  echo "=== exited rc=$rc $(date -u +%FT%TZ) ===" >> "$LOG"
+  if [ $rc -eq 0 ]; then
+    break                       # reached TARGET
+  elif [ $rc -eq 75 ]; then
+    sleep 10                    # RSS watchdog restart (expected)
+  else
+    sleep 30                    # crash: bounded retries
+    [ $attempt -ge 8 ] && break
+  fi
+done
+echo "=== run_stab256_r5 done $(date -u +%FT%TZ) ===" >> "$LOG"
