@@ -105,7 +105,9 @@ def run_composition_sweep(sess, loader, num_samples):
             expected = np.asarray(rule_based_boxes(
                 jnp.asarray(batch.objs), jnp.asarray(batch.triplets),
                 jnp.asarray(acts), jnp.asarray(batch.boxes), sess.vocab))
-            _, pred = sess.generate(batch, actions=acts)
+            # layout_only: box IoU never reads pixels (meta.py returns
+            # before the generator), so the sweep runs without chip time.
+            _, pred = sess.generate(batch, actions=acts, layout_only=True)
             pred = np.clip(pred, 0.0, 1.0)
             pairs = {"model_vs_expected": (pred, expected)}
             if name == "original":
@@ -280,7 +282,7 @@ def main(argv=None):
         if not loaded:
             sess.load(batch)
             loaded = True
-        _, boxes_pred = sess.generate(batch)
+        _, boxes_pred = sess.generate(batch, layout_only=True)
         boxes_pred = np.clip(boxes_pred, 0.0, 1.0)
         rule_pred = np.asarray(rule_based_boxes(
             jnp.asarray(batch.objs), jnp.asarray(batch.triplets),

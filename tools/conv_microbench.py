@@ -1,0 +1,201 @@
+"""Generation-MFU ceiling: standalone conv microbench (VERDICT r4 item 3).
+
+The r3 per-block profile put the SPADE stack at ~50% conv efficiency at
+its N=64..384-channel shapes and concluded "the true chip ceiling may be
+above 158 fps" — accepted, never tested. This tool answers it:
+
+1. traces the bench generation forward (256^2, B=8, bf16) and collects
+   every conv_general_dilated in the jaxpr with its shapes + FLOPs;
+2. microbenches the top-K distinct shapes standalone — a jitted
+   lax.scan chain (weights perturbed by the carry so the conv is not
+   loop-invariant; the perturbation is negligible vs the conv cost);
+3. reports achieved TFLOP/s and % of the v5e bf16 peak per shape, plus a
+   channel-padded variant (round C up to multiples of 128) to show
+   whether MXU-tile-aligned channels would move it.
+
+If bare XLA achieves the same ~50% at these exact shapes, the stack is at
+the platform ceiling; if it is much faster standalone, the gap is
+program-level (fusion/layout) and worth attacking.
+
+Run ON THE REAL CHIP:  python tools/conv_microbench.py [--top 12]
+Reference hot loop: spade_models/networks/generator.py:62-87.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def collect_conv_shapes():
+    """Jaxpr of the full bench-config generation forward -> conv list."""
+    import jax
+    import jax.numpy as jnp
+
+    from ag2video_tpu.config import Config
+    from ag2video_tpu.data.registry import Loader, get_dataset
+    from ag2video_tpu.models.meta import AG2VideoModel
+    from ag2video_tpu.vocab import get_vocab
+
+    vocab = get_vocab("synthetic")
+    cfg = Config(dataset="synthetic", image_size=(256, 256), batch_size=8,
+                 frames_per_action=4, dataset_size=8,
+                 compute_dtype="bfloat16", no_vgg_loss=True,
+                 output_dir="").derive(vocab)
+    ds = get_dataset("synthetic", "val", cfg)
+    loader = Loader(ds, cfg, shuffle=False, drop_last=False)
+    batch = next(loader.epoch(0))
+    b = {k: jnp.asarray(v) for k, v in batch.as_dict().items()}
+
+    model = AG2VideoModel(config=cfg, vocab=vocab)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, b["imgs"],
+                           b["objs"], b["triplets"], b["actions"],
+                           b["boxes"], use_gt=True, train=False))
+
+    def fwd(v):
+        out = model.apply(v, b["imgs"], b["objs"], b["triplets"],
+                          b["actions"], b["boxes"], test_mode=True,
+                          use_gt=False, train=False)
+        return out["imgs_pred"]
+
+    jaxpr = jax.make_jaxpr(fwd)(variables)
+
+    convs = []
+
+    def walk(jp):
+        for eqn in jp.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+                out = eqn.outvars[0].aval
+                # NHWC x HWIO -> NHWC (flax conv)
+                flops = 2 * np.prod(out.shape) * np.prod(rhs.shape[:3])
+                convs.append({
+                    "lhs": tuple(lhs.shape), "rhs": tuple(rhs.shape),
+                    "out": tuple(out.shape), "dtype": str(lhs.dtype),
+                    "strides": tuple(eqn.params["window_strides"]),
+                    "padding": tuple(map(tuple, eqn.params["padding"])),
+                    "flops": int(flops),
+                })
+            for sub in eqn.params.values():
+                if hasattr(sub, "eqns"):
+                    walk(sub)
+                elif hasattr(sub, "jaxpr") and hasattr(sub.jaxpr, "eqns"):
+                    # scan carries a ClosedJaxpr; its body runs `length`
+                    # times but the SHAPE work per iteration is the same.
+                    walk(sub.jaxpr)
+                elif isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr") and hasattr(s.jaxpr, "eqns"):
+                            walk(s.jaxpr)
+    walk(jaxpr.jaxpr)
+    return convs
+
+
+def bench_conv(lhs_shape, rhs_shape, strides, padding, dtype,
+               iters=60):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.asarray(np.random.randn(*lhs_shape), dtype)
+    w = jnp.asarray(0.01 * np.random.randn(*rhs_shape), dtype)
+    dn = lax.conv_dimension_numbers(lhs_shape, rhs_shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+
+    def body(c, _):
+        y = lax.conv_general_dilated(
+            x, w + c, window_strides=strides, padding=list(padding),
+            dimension_numbers=dn)
+        return jnp.mean(y).astype(c.dtype), None
+
+    @jax.jit
+    def run(x0):
+        c, _ = lax.scan(body, x0, None, length=iters)
+        return c
+
+    c0 = jnp.zeros((), dtype)
+    _ = float(run(c0))  # compile + warm
+    t0 = time.time()
+    out = run(c0)
+    val = float(out)  # scalar fetch = the only reliable sync on this stack
+    dt = (time.time() - t0) / iters
+    assert np.isfinite(val)
+    out_shape = jax.eval_shape(
+        lambda a, b: lax.conv_general_dilated(
+            a, b, window_strides=strides, padding=list(padding),
+            dimension_numbers=dn),
+        jax.ShapeDtypeStruct(lhs_shape, jnp.dtype(dtype)),
+        jax.ShapeDtypeStruct(rhs_shape, jnp.dtype(dtype))).shape
+    flops = 2 * np.prod(out_shape) * np.prod(rhs_shape[:3])
+    return dt, float(flops)
+
+
+def pad_channels(shape, axis, mult=128):
+    s = list(shape)
+    s[axis] = int(np.ceil(s[axis] / mult) * mult)
+    return tuple(s)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--top", type=int, default=12)
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    convs = collect_conv_shapes()
+    # Aggregate identical shapes; scan bodies execute per-frame — count
+    # once for shape ranking (relative FLOPs shares are per-call).
+    agg = {}
+    for c in convs:
+        key = (c["lhs"], c["rhs"], c["strides"], c["padding"], c["dtype"])
+        if key not in agg:
+            agg[key] = dict(c, count=0)
+        agg[key]["count"] += 1
+    ranked = sorted(agg.values(), key=lambda c: -c["flops"] * c["count"])
+    total_flops = sum(c["flops"] * c["count"] for c in ranked)
+    print(f"{len(convs)} conv eqns, {len(ranked)} distinct shapes, "
+          f"{total_flops/1e9:.1f} GFLOP total (per traced call)")
+
+    rows = []
+    for c in ranked[: args.top]:
+        dt, flops = bench_conv(c["lhs"], c["rhs"], c["strides"],
+                               c["padding"], c["dtype"], iters=args.iters)
+        tf = flops / dt / 1e12
+        row = dict(c, ms=1e3 * dt, tflops=round(tf, 1),
+                   mfu=round(100 * tf / V5E_BF16_PEAK_TFLOPS, 1))
+        # Channel-padded variant: round in/out channels to 128.
+        lhs_p = pad_channels(c["lhs"], 3)
+        rhs_p = pad_channels(pad_channels(c["rhs"], 2), 3)
+        if (lhs_p, rhs_p) != (c["lhs"], c["rhs"]):
+            dtp, flp = bench_conv(lhs_p, rhs_p, c["strides"], c["padding"],
+                                  c["dtype"], iters=args.iters)
+            row["padded_ms"] = 1e3 * dtp
+            row["padded_tflops"] = round(flp / dtp / 1e12, 1)
+            row["padded_mfu"] = round(
+                100 * (flp / dtp / 1e12) / V5E_BF16_PEAK_TFLOPS, 1)
+        rows.append(row)
+        print(json.dumps({k: row[k] for k in
+                          ("lhs", "rhs", "strides", "count", "ms", "tflops",
+                           "mfu", "padded_mfu") if k in row}))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"total_flops_per_call": total_flops, "rows": rows},
+                      f, indent=1, default=str)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
