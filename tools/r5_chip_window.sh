@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-5 post-training chip-window queue. Run AFTER the stability run
+# frees the chip (one TPU process at a time). Each step logs to its own
+# file under output/; steps are independent — a failure falls through.
+#
+#   bash tools/r5_chip_window.sh
+#
+# 1. bf16-resident params A/B at 256^2 B=2 (VERDICT r4 item 2): the bf16
+#    arm only — the fp32 arm's step timing is read from the stability
+#    run's own metrics stream (identical config, same chip, clean run).
+# 2. Clean 64^2 bf16 re-run (VERDICT r4 item 8): replaces the r4
+#    contended-window asterisk; fp32 twin for a same-day baseline.
+# 3. Conv-MFU microbench (VERDICT r4 item 3).
+# 4. bench.py (warms the XLA disk cache for the driver's end-of-round run
+#    and gives the headline).
+set -u
+cd /root/repo
+mkdir -p output
+
+echo "=== r5 chip window start $(date -u +%FT%TZ) ==="
+
+# --- 1. bf16 @ 256^2 B=2, 1000 iters (same recipe as the r4 64^2 A/B) ---
+python -m scripts.train --dataset synthetic --image_size 256,256 \
+  --batch_size 2 --num_iterations 1000 --print_every 50 \
+  --checkpoint_every 100000 --param_dtype bfloat16 --num_val_samples 4 \
+  --output_dir output/bf16ab256 > output/bf16ab256.log 2>&1
+echo "=== bf16 256^2 arm rc=$? $(date -u +%FT%TZ) ==="
+
+# --- 2. 64^2 B=8 clean arms, 1000 iters each (r4 recipe: donate off) ---
+for ARM in float32 bfloat16; do
+  python -m scripts.train --dataset synthetic --image_size 64,64 \
+    --batch_size 8 --num_iterations 1000 --print_every 50 \
+    --checkpoint_every 100000 --donate_step 0 --param_dtype $ARM \
+    --num_val_samples 4 \
+    --output_dir output/bf16ab64_$ARM > output/bf16ab64_$ARM.log 2>&1
+  echo "=== 64^2 $ARM arm rc=$? $(date -u +%FT%TZ) ==="
+done
+
+# --- 3. conv-MFU microbench ---
+python tools/conv_microbench.py --out output/conv_microbench.json \
+  > output/conv_microbench.log 2>&1
+echo "=== conv microbench rc=$? $(date -u +%FT%TZ) ==="
+
+# --- 4. bench (also warms the persistent XLA cache for the driver) ---
+python bench.py > output/bench_r5.json 2> output/bench_r5.log
+echo "=== bench rc=$? $(date -u +%FT%TZ) ==="
+cat output/bench_r5.json
+
+echo "=== r5 chip window done $(date -u +%FT%TZ) ==="
