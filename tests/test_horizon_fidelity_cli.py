@@ -1,0 +1,73 @@
+"""E2E smokes for the round-5 eval surfaces: the long-horizon sweep
+(scripts/eval_iou --sweep horizon) and the offline fidelity CLI
+(scripts/eval_fidelity), both driven against a real tiny run directory."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ag2video_tpu.data import get_dataset
+from ag2video_tpu.data.registry import Loader
+from ag2video_tpu.train.trainer import Trainer
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    cfg, vocab = tiny_config(output_dir=out, num_iterations=2,
+                             checkpoint_every=2, num_val_samples=2,
+                             val_inception=False, val_fidelity=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+    trainer.fit(train_loader, graph_loader)
+    assert os.path.isdir(os.path.join(out, "itr_2"))
+    return out, cfg
+
+
+def test_horizon_sweep_cli(tiny_run, capsys):
+    from scripts.eval_iou import main
+
+    out, cfg = tiny_run
+    result = main(["--checkpoint", out, "--sweep", "horizon",
+                   "--num_samples", "4", "--batch_size", "2"])
+    for key in ("baseline_1x", "slowmo_2x", "hold_2x", "slowmo_4x",
+                "hold_4x"):
+        assert key in result, result.keys()
+        r = result[key]
+        assert 0.0 <= r["avg_iou"] <= 1.0
+    # Extended rollouts produce factor x frames (minus the seed).
+    F = cfg.frames_per_action
+    assert len(result["baseline_1x"]["per_frame_iou"]) == F - 1
+    assert len(result["slowmo_2x"]["per_frame_iou"]) == 2 * F - 1
+    assert len(result["hold_4x"]["per_frame_iou"]) == 4 * F - 1
+
+
+def test_eval_fidelity_cli(tiny_run, tmp_path):
+    from ag2video_tpu.eval.backbone import (make_frame_dataset,
+                                            save_backbone, train_backbone)
+    from scripts.eval_fidelity import main
+
+    out, cfg = tiny_run
+    data = make_frame_dataset(cfg, 32, "train", frames_per_video=2)
+    params, _ = train_backbone(*data, steps=60, batch_size=32)
+    bpath = os.path.join(str(tmp_path), "bb.npz")
+    save_backbone(params, bpath, meta={"tiny": True})
+
+    main(["--run_dir", out, "--checkpoints", "latest", "--num_samples", "4",
+          "--batch_size", "2", "--backbone", bpath])
+    res = json.load(open(os.path.join(out, "fidelity.json")))
+    assert "real_vs_real" in res["controls"]
+    assert "noise_vs_real" in res["controls"]
+    # Noise must be far out in feature space even for a 60-step backbone.
+    assert (res["controls"]["noise_vs_real"]["fidelity_fid"]
+            > res["controls"]["real_vs_real"]["fidelity_fid"])
+    rows = res["checkpoints"]
+    assert rows and rows[-1]["step"] == 2
+    assert np.isfinite(rows[-1]["fidelity_fid"])
