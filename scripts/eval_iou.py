@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 
 import numpy as np
 
@@ -156,7 +157,8 @@ def extended_batch(batch, factor: int):
     return dataclasses.replace(batch, imgs=imgs, boxes=boxes, triplets=trip)
 
 
-def run_horizon_sweep(sess, loader, num_samples, factors=(2, 4)):
+def run_horizon_sweep(sess, loader, num_samples, factors=(2, 4),
+                      gifs_dir=None, gifs_n=2):
     """Long-horizon rollout beyond training length (VERDICT r4 item 7;
     the reference's extended-clock contract, scripts/test.py:251
     `norm_actions[:, :, 4] = 3.`). Two regimes per factor k:
@@ -193,6 +195,20 @@ def run_horizon_sweep(sess, loader, num_samples, factors=(2, 4)):
                              for a in np.asarray(ext.actions)])
             variants.append((f"hold_{k}x", ext, held))
         mask0 = (batch.objs[..., 0] != 0)[:, None, :]
+        if gifs_dir and n == 0:
+            # Full pixel synthesis for the first gifs_n videos per variant
+            # (the committed long-horizon artifacts; needs the chip at
+            # production resolution).
+            from ag2video_tpu.utils.vis import plot_vid, save_gif
+
+            for name, b, acts in variants:
+                imgs_pred, boxes_pred = sess.generate(b, actions=acts)
+                for i in range(min(gifs_n, imgs_pred.shape[0])):
+                    fn = os.path.join(gifs_dir, name,
+                                      f"{b.video_ids[i]}.gif")
+                    save_gif(plot_vid(imgs_pred[i],
+                                      np.clip(boxes_pred[i], 0, 1)), fn)
+                    log.info("wrote %s", fn)
         for name, b, acts in variants:
             expected = np.asarray(rule_based_boxes(
                 jnp.asarray(b.objs), jnp.asarray(b.triplets),
@@ -237,6 +253,9 @@ def main(argv=None):
     p.add_argument("--partition", default="val", choices=["val", "test"])
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--gifs_dir", default=None,
+                   help="horizon sweep: also write full-pixel GIFs of the "
+                        "first videos per variant here (chip time)")
     p.add_argument("--sweep", default=None,
                    choices=[None, "composition", "horizon"],
                    help="composition: score zero-shot composed/timing-"
@@ -266,12 +285,21 @@ def main(argv=None):
     loader = Loader(ds, sess.cfg, batch_size=args.batch_size, shuffle=False,
                     drop_last=False)
 
+    # Echo the pinned eval contract: sweep numbers are only comparable
+    # across runs when the video set AND the eval batch are identical (the
+    # batch association perturbs the 8th decimal of batch means).
+    contract = {"partition": args.partition, "num_samples": args.num_samples,
+                "batch_size": args.batch_size,
+                "checkpoint": os.path.abspath(args.checkpoint)}
     if args.sweep == "composition":
         result = run_composition_sweep(sess, loader, args.num_samples)
+        result["eval_contract"] = contract
         print(json.dumps(result, indent=2))
         return result
     if args.sweep == "horizon":
-        result = run_horizon_sweep(sess, loader, args.num_samples)
+        result = run_horizon_sweep(sess, loader, args.num_samples,
+                                   gifs_dir=args.gifs_dir)
+        result["eval_contract"] = contract
         print(json.dumps(result, indent=2))
         return result
 
