@@ -133,12 +133,13 @@ class Config:
     d_activation: str = "leakyrelu-0.2"
 
     # Donate the train-state buffers to the jitted train/graph steps
-    # (halves peak param+opt memory). Default on; --donate_step 0 is the
+    # (halves peak param+opt memory). Default on; --donate_step 0 was the
     # verified workaround for a platform miscompile where the SAME step
-    # program returns NaN losses only when donated (observed at 64^2 B=8
-    # bf16 on the v5e axon runtime; 256^2 B=2 unaffected — RESULTS.md
-    # "Donation-triggered NaN"). fit() detects the symptom (every step
-    # NaN-skipped from step 1) and points at this flag.
+    # program returned NaN losses only when donated (observed at 64^2 B=8
+    # bf16 on the v5e axon runtime — RESULTS.md "Donation-triggered NaN").
+    # The r5 platform update fixed it (tools/repro_donation_nan.py prints
+    # BUG-FIXED); the flag and fit()'s symptom detection (every step
+    # NaN-skipped from step 1) stay as the guard if it regresses.
     donate_step: bool = True
 
     # Output / checkpointing (reference: data/args.py:85-96)

@@ -1,0 +1,52 @@
+"""Median wall ms/step from a run's metrics.jsonl timestamps.
+
+    python tools/ab_step_time.py output/bf16ab256 [--t0 100] [--t1 1000]
+
+Used by the bf16-params A/Bs (VERDICT r4 items 2 and 8): per-log-interval
+deltas (wall time between consecutive metrics rows / iterations between
+them), median over [t0, t1] to skip the compile row. Pauses longer than
+5x the running median (val passes, checkpoint fetches) are dropped so the
+number is the pure training step.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def step_times(run_dir, t0=100, t1=10**9):
+    rows = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if "time" in r and "step" in r and "G/total_loss" in r:
+                rows.append((r["step"], r["time"]))
+    rows.sort()
+    deltas = []
+    for (ta, wa), (tb, wb) in zip(rows, rows[1:]):
+        if tb <= ta or not (t0 <= tb <= t1):
+            continue
+        deltas.append(1e3 * (wb - wa) / (tb - ta))
+    deltas = np.array(deltas)
+    if len(deltas) == 0:
+        return None
+    med = np.median(deltas)
+    clean = deltas[deltas < 5 * med]  # drop val/checkpoint pauses
+    return {"n_intervals": int(len(clean)), "median_ms": float(np.median(clean)),
+            "p25_ms": float(np.percentile(clean, 25)),
+            "p75_ms": float(np.percentile(clean, 75))}
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("run_dir")
+    p.add_argument("--t0", type=int, default=100)
+    p.add_argument("--t1", type=int, default=10**9)
+    a = p.parse_args()
+    out = step_times(a.run_dir, a.t0, a.t1)
+    if out is None:
+        sys.exit("no usable metric rows")
+    print(json.dumps(dict(run=a.run_dir, t0=a.t0, t1=a.t1, **out)))
