@@ -573,3 +573,43 @@ def test_rss_watchdog_checkpoints_and_exits(tmp_path):
     path = os.path.join(cfg.output_dir, f"itr_{t}")
     assert os.path.isdir(path), path
     assert not is_light_checkpoint(path)
+
+
+def test_rss_watchdog_exit_and_cli_resume(tmp_path):
+    """The full host-leak mitigation path through the real CLI: a run whose
+    RSS watchdog fires exits rc=75 AFTER writing a full checkpoint at the
+    current step; re-launching with --restore_checkpoint 1 resumes from it
+    and runs to completion (what tools/run_stab256_r5.sh automates)."""
+    from scripts import train as train_cli
+    from ag2video_tpu.train.checkpoint import is_light_checkpoint, \
+        latest_checkpoint
+    from ag2video_tpu.train.trainer import RSS_WATCHDOG_RC
+
+    out = str(tmp_path / "run")
+    # batch 8: the test session provisions 8 virtual CPU devices and
+    # scripts.train asserts batch divisibility (mesh data-parallel path).
+    argv = ["--dataset", "synthetic", "--image_size", "32,32",
+            "--batch_size", "8", "--num_iterations", "4",
+            "--checkpoint_every", "100", "--print_every", "1",
+            "--output_dir", out, "--num_val_samples", "2",
+            "--dataset_size", "16", "--embedding_dim", "16",
+            "--gconv_dim", "16", "--gconv_hidden_dim", "32",
+            "--gconv_num_layers", "2", "--ngf", "4", "--nff", "4",
+            "--n_blocks_F", "1", "--n_downsample_F", "2", "--num_D", "2",
+            "--n_layers_D", "2", "--number_of_objects", "3",
+            "--max_objects", "5", "--max_triplets", "6", "--max_actions",
+            "2", "--no_vgg_loss", "1", "--val_inception", "0",
+            "--val_fidelity", "0"]
+    with pytest.raises(SystemExit) as e:
+        train_cli.main(argv + ["--rss_watchdog_gb", "0.001"])
+    assert e.value.code == RSS_WATCHDOG_RC
+    ckpt = latest_checkpoint(out)
+    assert ckpt and not is_light_checkpoint(ckpt)
+    t_stop = int(ckpt.rsplit("_", 1)[1])
+    assert 1 <= t_stop < 4
+
+    # The wrapper's resume leg: finishes the remaining iterations.
+    train_cli.main(argv + ["--rss_watchdog_gb", "0",
+                           "--restore_checkpoint", "1"])
+    final = latest_checkpoint(out)
+    assert final and final.endswith("itr_4"), final
