@@ -183,6 +183,16 @@ class Config:
     # /proc/meminfo MemTotal), 0 = off, >0 = explicit GB. TPU-era analog of
     # the reference's in-loop failure handling (scripts/train.py:428-437).
     rss_watchdog_gb: float = -1.0
+    # Wall-clock deadline (unix epoch seconds; 0 = off), checked at the
+    # same log boundaries as the RSS watchdog: past it the trainer writes
+    # a FULL checkpoint and exits rc=75. Lets an orchestrator launch one
+    # long run (e.g. --num_iterations 20000) and reclaim the chip at a
+    # known time WITHOUT killing the process — SIGKILL/SIGTERM mid-TPU-
+    # execution wedges the tunneled chip for tens of minutes (CLAUDE.md
+    # gotchas) and loses un-checkpointed work; this exits between steps
+    # with everything saved. Deadline-aware segment analog of the
+    # reference's fixed-iteration segments (scripts/train.py:398).
+    wall_deadline: float = 0.0
     output_dir: str = "output/run"
     run_name: str = "debug"
     restore_checkpoint: bool = False

@@ -599,20 +599,29 @@ class Trainer:
                          {k: round(v, 4) for k, v in vals.items()})
                 if metrics_writer:
                     metrics_writer.write(t, vals)
+                stop_reason = None
                 if rss_limit and cfg.output_dir:
                     rss = rss_getter()
                     if rss > rss_limit:
-                        log.error(
+                        stop_reason = (
                             "RSS watchdog: host RSS %.1f GB > %.1f GB "
                             "(tunnel-client pinned-buffer leak, RESULTS.md "
-                            "'host-memory leak') — saving a FULL checkpoint "
-                            "at t=%d and exiting rc=%d for auto-resume",
-                            rss, rss_limit, t, RSS_WATCHDOG_RC)
-                        if profiling:
-                            jax.profiler.stop_trace()
-                        self.save_checkpoint(cfg.output_dir, t, 0)
-                        ckpt_lib.wait_for_saves()
-                        raise SystemExit(RSS_WATCHDOG_RC)
+                            "'host-memory leak')" % (rss, rss_limit))
+                if (stop_reason is None and cfg.wall_deadline
+                        and cfg.output_dir
+                        and time.time() >= cfg.wall_deadline):
+                    stop_reason = ("wall deadline %.0f reached"
+                                   % cfg.wall_deadline)
+                if stop_reason is not None:
+                    log.error(
+                        "%s — saving a FULL checkpoint at t=%d and exiting "
+                        "rc=%d for auto-resume", stop_reason, t,
+                        RSS_WATCHDOG_RC)
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    self.save_checkpoint(cfg.output_dir, t, 0)
+                    ckpt_lib.wait_for_saves()
+                    raise SystemExit(RSS_WATCHDOG_RC)
             if cfg.graph_only:
                 self.state = self.state.replace(step=jnp.asarray(t, jnp.int32))
         # Final checkpoint: the in-loop cadence saves at iteration START, so

@@ -575,6 +575,40 @@ def test_rss_watchdog_checkpoints_and_exits(tmp_path):
     assert not is_light_checkpoint(path)
 
 
+def test_wall_deadline_checkpoints_and_exits(tmp_path):
+    """Config.wall_deadline: past the epoch deadline, fit() takes the same
+    clean-exit path as the RSS watchdog — FULL checkpoint at the current
+    step, rc=75 — so an orchestrator can reclaim the chip at a known time
+    without killing the process mid-TPU-execution (which wedges the
+    tunneled chip, CLAUDE.md gotchas)."""
+    import time as _time
+
+    from ag2video_tpu.train.checkpoint import is_light_checkpoint
+    from ag2video_tpu.train.trainer import RSS_WATCHDOG_RC
+
+    cfg, vocab = tiny_config(output_dir=str(tmp_path / "run"),
+                             num_iterations=50, checkpoint_every=100,
+                             print_every=1, rss_watchdog_gb=0.0,
+                             wall_deadline=_time.time() - 1.0,
+                             num_val_samples=2, val_inception=False)
+    train_ds = get_dataset("synthetic", "train", cfg)
+    graph_ds = get_dataset("synthetic", "train_graph", cfg)
+    train_loader = Loader(train_ds, cfg, shuffle=True)
+    graph_loader = Loader(graph_ds, cfg, shuffle=True)
+    trainer = Trainer(cfg, vocab)
+    trainer.init(next(train_loader.epoch(0)))
+
+    with pytest.raises(SystemExit) as e:
+        trainer.fit(train_loader, graph_loader)
+    assert e.value.code == RSS_WATCHDOG_RC
+    # Fires on the first log boundary (t=1); the save is FULL.
+    t = int(trainer.state.step)
+    assert t == 1
+    path = os.path.join(cfg.output_dir, f"itr_{t}")
+    assert os.path.isdir(path), path
+    assert not is_light_checkpoint(path)
+
+
 def test_rss_watchdog_exit_and_cli_resume(tmp_path):
     """The full host-leak mitigation path through the real CLI: a run whose
     RSS watchdog fires exits rc=75 AFTER writing a full checkpoint at the
