@@ -2,48 +2,70 @@
 # Round-5 post-training chip-window queue. Run AFTER the stability run
 # frees the chip (one TPU process at a time). Each step logs to its own
 # file under output/; steps are independent — a failure falls through.
+# Ordered by evidence value per chip-minute; if the wall clock runs out
+# mid-queue the high-value steps have already landed.
 #
 #   bash tools/r5_chip_window.sh
 #
-# 1. bf16-resident params A/B at 256^2 B=2 (VERDICT r4 item 2): the bf16
+# 1. bench.py — the headline number; also warms the persistent XLA disk
+#    cache so the driver's end-of-round bench run is fast.
+# 2. bf16-resident params A/B at 256^2 B=2 (VERDICT r4 item 2): the bf16
 #    arm only — the fp32 arm's step timing is read from the stability
-#    run's own metrics stream (identical config, same chip, clean run).
-# 2. Clean 64^2 bf16 re-run (VERDICT r4 item 8): replaces the r4
-#    contended-window asterisk; fp32 twin for a same-day baseline.
-# 3. Conv-MFU microbench (VERDICT r4 item 3).
-# 4. bench.py (warms the XLA disk cache for the driver's end-of-round run
-#    and gives the headline).
+#    run's own metrics stream (identical config, same chip, clean run;
+#    tools/ab_step_time.py strips val/save boundaries).
+# 3. Conv-MFU microbench (VERDICT r4 item 3): is ~50% SPADE conv
+#    efficiency the platform ceiling at these exact shapes?
+# 4. Clean 64^2 bfloat16 re-run (VERDICT r4 item 8): replaces the r4
+#    contended-window asterisk. The r4 fp32 twin was already re-run
+#    clean (RESULTS.md "bf16-resident params") — only the bf16 arm
+#    carries the asterisk, so only it re-runs.
+# 5. Long-horizon sweep + GIFs (VERDICT r4 item 7) on the stability
+#    run's final checkpoint: layout IoU vs the rule oracle at T=2x/4x
+#    (slow-motion + execute-then-hold) plus committed pixel GIFs.
 set -u
 cd /root/repo
-mkdir -p output
+mkdir -p output results/horizon_r5
 
 echo "=== r5 chip window start $(date -u +%FT%TZ) ==="
 
-# --- 1. bf16 @ 256^2 B=2, 1000 iters (same recipe as the r4 64^2 A/B) ---
+# --- 1. bench (headline + XLA-cache warm for the driver) ---
+python bench.py > output/bench_r5.json 2> output/bench_r5.log
+echo "=== bench rc=$? $(date -u +%FT%TZ) ==="
+cat output/bench_r5.json
+
+# --- 2. bf16 @ 256^2 B=2, 1000 iters (same recipe as the r4 64^2 A/B) ---
 python -m scripts.train --dataset synthetic --image_size 256,256 \
   --batch_size 2 --num_iterations 1000 --print_every 50 \
   --checkpoint_every 100000 --param_dtype bfloat16 --num_val_samples 4 \
   --output_dir output/bf16ab256 > output/bf16ab256.log 2>&1
 echo "=== bf16 256^2 arm rc=$? $(date -u +%FT%TZ) ==="
 
-# --- 2. 64^2 B=8 clean arms, 1000 iters each (r4 recipe: donate off) ---
-for ARM in float32 bfloat16; do
-  python -m scripts.train --dataset synthetic --image_size 64,64 \
-    --batch_size 8 --num_iterations 1000 --print_every 50 \
-    --checkpoint_every 100000 --donate_step 0 --param_dtype $ARM \
-    --num_val_samples 4 \
-    --output_dir output/bf16ab64_$ARM > output/bf16ab64_$ARM.log 2>&1
-  echo "=== 64^2 $ARM arm rc=$? $(date -u +%FT%TZ) ==="
-done
-
 # --- 3. conv-MFU microbench ---
 python tools/conv_microbench.py --out output/conv_microbench.json \
   > output/conv_microbench.log 2>&1
 echo "=== conv microbench rc=$? $(date -u +%FT%TZ) ==="
 
-# --- 4. bench (also warms the persistent XLA cache for the driver) ---
-python bench.py > output/bench_r5.json 2> output/bench_r5.log
-echo "=== bench rc=$? $(date -u +%FT%TZ) ==="
-cat output/bench_r5.json
+# --- 4. 64^2 B=8 clean bf16 arm, 1000 iters (r4 recipe: donate off) ---
+python -m scripts.train --dataset synthetic --image_size 64,64 \
+  --batch_size 8 --num_iterations 1000 --print_every 50 \
+  --checkpoint_every 100000 --donate_step 0 --param_dtype bfloat16 \
+  --num_val_samples 4 \
+  --output_dir output/bf16ab64_bfloat16 > output/bf16ab64_bfloat16.log 2>&1
+echo "=== 64^2 bfloat16 arm rc=$? $(date -u +%FT%TZ) ==="
+
+# --- 5. long-horizon sweep on the stability checkpoint ---
+CKPT=$(python - <<'EOF'
+from ag2video_tpu.train.checkpoint import latest_checkpoint
+print(latest_checkpoint("output/stab256", full_only=False) or "")
+EOF
+)
+if [ -n "$CKPT" ]; then
+  python -m scripts.eval_iou --checkpoint "$CKPT" --sweep horizon \
+    --num_samples 32 --batch_size 4 --gifs_dir results/horizon_r5 \
+    > results/horizon_r5/horizon_sweep.json 2> output/horizon_sweep.log
+  echo "=== horizon sweep rc=$? ckpt=$CKPT $(date -u +%FT%TZ) ==="
+else
+  echo "=== horizon sweep SKIPPED: no stab256 checkpoint ==="
+fi
 
 echo "=== r5 chip window done $(date -u +%FT%TZ) ==="

@@ -9,9 +9,11 @@
 # at ANY checkpoint cadence.
 #
 # TARGET (env, default 25000): total iterations.
-# DEADLINE_EPOCH (env, optional): no restart after this unix time; the
-# in-flight process always runs to completion (killing mid-TPU-execution
-# wedges the chip, CLAUDE.md gotchas) — pair with a TARGET that fits.
+# DEADLINE_EPOCH (env, optional): passed to the trainer as
+# --wall_deadline (full save + rc=75 at the deadline, between steps —
+# Config.wall_deadline) and also gates restarts here, so the chip is
+# reclaimed at a known time without killing mid-TPU-execution (which
+# wedges the chip, CLAUDE.md gotchas).
 set -u
 cd /root/repo
 mkdir -p output
@@ -20,7 +22,8 @@ TARGET="${TARGET:-25000}"
 DEADLINE_EPOCH="${DEADLINE_EPOCH:-0}"
 COMMON="--dataset synthetic --image_size 256,256 --batch_size 2 \
   --output_dir output/stab256 --checkpoint_every 2500 --print_every 50 \
-  --full_checkpoint_every_n 2 --num_iterations $TARGET"
+  --full_checkpoint_every_n 2 --num_iterations $TARGET \
+  --wall_deadline $DEADLINE_EPOCH"
 
 attempt=0
 while :; do
