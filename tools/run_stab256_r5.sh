@@ -20,10 +20,12 @@ mkdir -p output
 LOG=output/stab256.log
 TARGET="${TARGET:-25000}"
 DEADLINE_EPOCH="${DEADLINE_EPOCH:-0}"
+CKPT_EVERY="${CKPT_EVERY:-2500}"
+FULL_EVERY_N="${FULL_EVERY_N:-2}"
 COMMON="--dataset synthetic --image_size 256,256 --batch_size 2 \
-  --output_dir output/stab256 --checkpoint_every 2500 --print_every 50 \
-  --full_checkpoint_every_n 2 --num_iterations $TARGET \
-  --wall_deadline $DEADLINE_EPOCH"
+  --output_dir output/stab256 --checkpoint_every $CKPT_EVERY \
+  --print_every 50 --full_checkpoint_every_n $FULL_EVERY_N \
+  --num_iterations $TARGET --wall_deadline $DEADLINE_EPOCH"
 
 attempt=0
 while :; do
