@@ -123,11 +123,25 @@ def bench_conv(lhs_shape, rhs_shape, strides, padding, dtype,
 
     c0 = jnp.zeros((), dtype)
     _ = float(run(c0))  # compile + warm
-    t0 = time.time()
-    out = run(c0)
-    val = float(out)  # scalar fetch = the only reliable sync on this stack
-    dt = (time.time() - t0) / iters
-    assert np.isfinite(val)
+
+    # Two-point timing: one tunnel round-trip costs ~45-90 ms of constant
+    # dispatch+fetch overhead per timed region (CLAUDE.md gotchas) — at
+    # 60 iters that is ~1 ms/iter, the same order as the convs measured,
+    # which would fake a ~50% MFU ceiling. Chained dispatches are async
+    # (only the final scalar fetch syncs), so timing k=1 and k=3 chained
+    # scan calls and differencing cancels the constant overhead exactly.
+    def timed(k):
+        t0 = time.time()
+        c = c0
+        for _ in range(k):
+            c = run(c)
+        val = float(c)  # scalar fetch = the only reliable sync here
+        assert np.isfinite(val)
+        return time.time() - t0
+
+    t1 = timed(1)
+    t3 = timed(3)
+    dt = max(t3 - t1, 1e-9) / (2 * iters)
     out_shape = jax.eval_shape(
         lambda a, b: lax.conv_general_dilated(
             a, b, window_strides=strides, padding=list(padding),
