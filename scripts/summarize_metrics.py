@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--keys", nargs="*", default=[
         "G/total_loss", "D/total_img_loss", "Graph/total_loss", "G/VGG",
         "sigma/G_max", "sigma/G_mean", "sigma/D_max", "sigma/D_mean"])
+    p.add_argument("--all", action="store_true",
+                   help="print EVERY row per key (checkpoint-cadence keys "
+                        "like use_gt/fidelity_fid, for trajectory tables)")
     args = p.parse_args(argv)
 
     path = os.path.join(args.run_dir, "metrics.jsonl")
@@ -30,8 +33,8 @@ def main(argv=None):
         if not vals:
             continue
         n = len(vals)
-        pick = [vals[0], vals[n // 4], vals[n // 2], vals[3 * n // 4],
-                vals[-1]]
+        pick = vals if args.all else [vals[0], vals[n // 4], vals[n // 2],
+                                      vals[3 * n // 4], vals[-1]]
         out[k] = {f"@{t}": round(float(v), 4) for t, v in pick}
     print(json.dumps(out, indent=1))
     return out
