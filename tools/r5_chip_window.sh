@@ -68,4 +68,14 @@ else
   echo "=== horizon sweep SKIPPED: no stab256 checkpoint ==="
 fi
 
+# --- 6. fidelity control rows (real-vs-real floor / noise-vs-real
+#         ceiling) + a post-hoc re-score of the latest checkpoint, which
+#         cross-checks the in-loop trajectory numbers ---
+if [ -n "$CKPT" ]; then
+  python -m scripts.eval_fidelity --run_dir output/stab256 \
+    --checkpoints latest --out results/stab256_r5/fidelity_controls.json \
+    > output/eval_fidelity.log 2>&1
+  echo "=== fidelity controls rc=$? $(date -u +%FT%TZ) ==="
+fi
+
 echo "=== r5 chip window done $(date -u +%FT%TZ) ==="
