@@ -263,7 +263,17 @@ def main(argv=None):
                         "expectation (linear synthetic only); horizon: "
                         "rollouts at 2x/4x the training clip length "
                         "(slow-motion + execute-then-hold regimes)")
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform (e.g. 'cpu'): layout-only "
+                        "sweeps need no chip, so 'cpu' lets them run while "
+                        "a training job holds the TPU (one TPU process at "
+                        "a time, CLAUDE.md)")
     args = p.parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        # The ambient TPU plugin ignores the env var; the config flag works.
+        jax.config.update("jax_platforms", args.platform)
     from ag2video_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -273,8 +283,6 @@ def main(argv=None):
     from ag2video_tpu.inference.generate import GenerationSession
     from ag2video_tpu.models.rule_baseline import rule_based_boxes
     from ag2video_tpu.ops.metrics import iou_stats
-
-    import os
 
     run_dir = args.checkpoint
     if not os.path.exists(os.path.join(run_dir, "run_args.json")):

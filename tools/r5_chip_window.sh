@@ -60,12 +60,15 @@ print(latest_checkpoint("output/stab256", full_only=False) or "")
 EOF
 )
 if [ -n "$CKPT" ]; then
+  # GIF synthesis only (chip time: 3 distinct-T generation compiles).
+  # The 64-sample layout-IoU sweep is layout-only and runs on CPU in
+  # parallel (--platform cpu), outside this chip queue.
   python -m scripts.eval_iou --checkpoint "$CKPT" --sweep horizon \
-    --num_samples 32 --batch_size 4 --gifs_dir results/horizon_r5 \
-    > results/horizon_r5/horizon_sweep.json 2> output/horizon_sweep.log
-  echo "=== horizon sweep rc=$? ckpt=$CKPT $(date -u +%FT%TZ) ==="
+    --num_samples 4 --batch_size 4 --gifs_dir results/horizon_r5 \
+    > results/horizon_r5/horizon_gifs_run.json 2> output/horizon_sweep.log
+  echo "=== horizon GIFs rc=$? ckpt=$CKPT $(date -u +%FT%TZ) ==="
 else
-  echo "=== horizon sweep SKIPPED: no stab256 checkpoint ==="
+  echo "=== horizon GIFs SKIPPED: no stab256 checkpoint ==="
 fi
 
 # --- 6. fidelity control rows (real-vs-real floor / noise-vs-real
